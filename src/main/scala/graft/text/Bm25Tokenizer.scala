@@ -1,0 +1,115 @@
+package graft.text
+
+import java.util.Locale
+import graft.text.stem.{EnglishStemmer, GermanStemmer, NoOpStemmer, Stemmer}
+
+/** Languages supported by the tokenizer (the reference's 17-variant enum,
+  * `/root/reference/src/default_tokenizer.rs:17-35`). Stemming is currently
+  * ported for English and German (the two snapshot-validated languages);
+  * other languages tokenize with stopword/stemmer behavior documented in
+  * `Stopwords.forLanguage` / `Bm25Tokenizer`.
+  */
+sealed abstract class Language(val name: String) extends Serializable
+object Language {
+  case object Arabic extends Language("arabic")
+  case object Danish extends Language("danish")
+  case object Dutch extends Language("dutch")
+  case object English extends Language("english")
+  case object French extends Language("french")
+  case object German extends Language("german")
+  case object Greek extends Language("greek")
+  case object Hungarian extends Language("hungarian")
+  case object Italian extends Language("italian")
+  case object Norwegian extends Language("norwegian")
+  case object Portuguese extends Language("portuguese")
+  case object Romanian extends Language("romanian")
+  case object Russian extends Language("russian")
+  case object Spanish extends Language("spanish")
+  case object Swedish extends Language("swedish")
+  case object Tamil extends Language("tamil")
+  case object Turkish extends Language("turkish")
+
+  val all: Seq[Language] = Seq(Arabic, Danish, Dutch, English, French, German,
+    Greek, Hungarian, Italian, Norwegian, Portuguese, Romanian, Russian,
+    Spanish, Swedish, Tamil, Turkish)
+
+  def fromName(s: String): Option[Language] = all.find(_.name == s.toLowerCase(Locale.ROOT))
+}
+
+/** The tokenizer contract (the reference's `Tokenizer` trait,
+  * `/root/reference/src/tokenizer.rs:3-6`): one pure `String => Seq[String]`.
+  * Any implementation can be plugged into the embedder / engine builders
+  * (custom-tokenizer hook, `embedder.rs:89-94` + `search.rs:176-209`).
+  */
+trait TextTokenizer extends Serializable {
+  def tokenize(text: String): Array[String]
+}
+
+/** A user-supplied tokenizer function (T7 in SURVEY §2.2). */
+final class FnTokenizer(f: String => Seq[String]) extends TextTokenizer {
+  def tokenize(text: String): Array[String] = f(text).toArray
+}
+
+/** The default tokenizer: normalize → lowercase → UAX#29 split → stopword
+  * filter → stem, with an empty-input short-circuit — the exact fused
+  * pipeline of `/root/reference/src/default_tokenizer.rs:272-301`. All five
+  * stages run in one pass per row: as a Spark transform this is a single
+  * narrow projection (no shuffle).
+  *
+  * Builder toggles mirror `DefaultTokenizerBuilder`
+  * (`default_tokenizer.rs:330-379`): normalization / stopwords / stemming,
+  * each defaulting to true, language defaulting to English.
+  */
+final class Bm25Tokenizer private (
+    val language: Language,
+    val normalization: Boolean,
+    val stopwords: Boolean,
+    val stemming: Boolean
+) extends TextTokenizer {
+
+  private val stemmer: Stemmer =
+    if (!stemming) NoOpStemmer
+    else language match {
+      case Language.English => EnglishStemmer
+      case Language.German  => GermanStemmer
+      case _                => NoOpStemmer
+    }
+
+  // The stopword set is itself normalized when normalization is on,
+  // mirroring `default_tokenizer.rs:142-154` (`für` → `fur`).
+  private val stopwordSet: Set[String] =
+    if (!stopwords) Set.empty
+    else {
+      val raw = Stopwords.forLanguage(language)
+      if (normalization) raw.map(Transliterate(_)) else raw
+    }
+
+  def tokenize(text: String): Array[String] = {
+    if (text.isEmpty) return Array.empty
+    // Normalize (unicode → ASCII), then lowercase the whole text (the
+    // reference lowercases after normalization, `default_tokenizer.rs:274-276`).
+    val normalized = if (normalization) Transliterate(text) else text
+    val lowered = normalized.toLowerCase(Locale.ROOT)
+    val words = UnicodeWords.split(lowered)
+    if (stopwordSet.isEmpty && (stemmer eq NoOpStemmer)) return words
+    val out = Array.newBuilder[String]
+    out.sizeHint(words.length)
+    var i = 0
+    while (i < words.length) {
+      val w = words(i)
+      if (!stopwordSet.contains(w)) out += stemmer.stem(w)
+      i += 1
+    }
+    out.result()
+  }
+}
+
+object Bm25Tokenizer {
+  def apply(language: Language = Language.English,
+            normalization: Boolean = true,
+            stopwords: Boolean = true,
+            stemming: Boolean = true): Bm25Tokenizer =
+    new Bm25Tokenizer(language, normalization, stopwords, stemming)
+
+  val default: Bm25Tokenizer = apply()
+}

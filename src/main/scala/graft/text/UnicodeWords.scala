@@ -1,0 +1,64 @@
+package graft.text
+
+import com.ibm.icu.lang.{UCharacter, UProperty}
+import com.ibm.icu.text.BreakIterator
+import com.ibm.icu.util.ULocale
+
+/** UAX#29 word segmentation, matching the observable behavior of the
+  * reference's `unicode_words()` split (unicode-segmentation v1.12.0, used at
+  * `/root/reference/src/default_tokenizer.rs:267-270`): split the text on
+  * Unicode word boundaries and keep only the segments that contain at least
+  * one alphanumeric codepoint (Rust `char::is_alphanumeric` = Alphabetic
+  * property or general category Nd/Nl/No).
+  *
+  * Implemented with ICU4J's `BreakIterator.getWordInstance` (icu4j-77.1 ships
+  * in /opt/spark/jars), which implements the same UAX#29 spec. Keeps decimals
+  * (`3.14`), contractions (`can't`), digit+letter runs (`400degf`) and
+  * underscore-joined identifiers as single tokens; drops all punctuation.
+  * Parity is asserted token-for-token against the reference tokenizer
+  * snapshots (~7k tokens across 100 documents).
+  */
+object UnicodeWords {
+
+  // BreakIterator is mutable/not thread-safe: one instance per thread.
+  private val iterators = new ThreadLocal[BreakIterator] {
+    override def initialValue(): BreakIterator = BreakIterator.getWordInstance(ULocale.ROOT)
+  }
+
+  @inline private def isAlphanumeric(cp: Int): Boolean = {
+    if (cp < 128) (cp >= 'a' && cp <= 'z') || (cp >= 'A' && cp <= 'Z') || (cp >= '0' && cp <= '9')
+    else {
+      import com.ibm.icu.lang.UCharacterEnums.ECharacterCategory
+      val t = UCharacter.getType(cp)
+      UCharacter.hasBinaryProperty(cp, UProperty.ALPHABETIC) ||
+      t == ECharacterCategory.DECIMAL_DIGIT_NUMBER || t == ECharacterCategory.LETTER_NUMBER ||
+      t == ECharacterCategory.OTHER_NUMBER
+    }
+  }
+
+  private def hasAlphanumeric(s: String, from: Int, until: Int): Boolean = {
+    var i = from
+    while (i < until) {
+      val cp = s.codePointAt(i)
+      if (isAlphanumeric(cp)) return true
+      i += Character.charCount(cp)
+    }
+    false
+  }
+
+  /** Splits `text` into word tokens (order-preserving, no empties). */
+  def split(text: String): Array[String] = {
+    if (text.isEmpty) return Array.empty
+    val bi = iterators.get()
+    bi.setText(text)
+    val out = Array.newBuilder[String]
+    var start = bi.first()
+    var end = bi.next()
+    while (end != BreakIterator.DONE) {
+      if (hasAlphanumeric(text, start, end)) out += text.substring(start, end)
+      start = end
+      end = bi.next()
+    }
+    out.result()
+  }
+}
