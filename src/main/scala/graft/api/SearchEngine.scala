@@ -1,0 +1,308 @@
+package graft.api
+
+import graft.bm25.{Bm25Params, Embedder}
+import graft.index._
+import graft.text.{Bm25Tokenizer, FxHash, Language, TextTokenizer}
+import org.apache.spark.sql.{Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** A document (reference `Document<K>`, `/root/reference/src/search.rs:17-38`).
+  * Keys are strings; the engine derives a stable Long surrogate (FxHash64,
+  * collision-checked at build) for the columnar index.
+  */
+final case class Doc(id: String, contents: String)
+
+/** A search result (reference `SearchResult`, `search.rs:42-48`). */
+final case class SearchResult(id: String, contents: String, score: Float)
+
+private[api] final case class LogRow(doc_id: Long, key: String, contents: String,
+                                     seq: Long, tombstone: Boolean)
+
+/** The document-lifecycle + retrieval surface (reference `SearchEngine`,
+  * `/root/reference/src/search.rs:52-133`), rebuilt over the distributed
+  * index:
+  *
+  *   - the doc store is a parquet append log (key, contents, seq, tombstone)
+  *     — the reference's `HashMap<K, String>` (`search.rs:52-59`);
+  *   - `upsert`/`remove` append delta rows (I1/I2 in SURVEY §2.4): the base
+  *     index is immutable; at query time base postings (minus superseded doc
+  *     versions) are unioned with on-the-fly-embedded delta postings, and
+  *     df/N are recomputed exactly from the merged scan — so scores equal a
+  *     from-scratch reference engine over the same live docs;
+  *   - `compact()` folds deltas into a fresh base (distributed build) and
+  *     re-seals the log seq;
+  *   - `search(query, limit)` = embed query → disjunctive candidates →
+  *     f32 score fold in query-occurrence order → top-k → contents join
+  *     (`search.rs:118-132`), all as one distributed plan.
+  */
+final class SearchEngine private[api] (
+    @transient private val spark: SparkSession,
+    val dir: String,
+    val tokenizer: TextTokenizer,
+    val k1: Float,
+    val b: Float,
+    fixedAvgdl: Option[Float]
+) {
+  import spark.implicits._
+
+  private val logPath = s"$dir/docstore"
+  private def indexPath = s"$dir/index"
+
+  private var nextSeq: Long = currentMaxSeq() + 1
+
+  private def logExists: Boolean = {
+    val f = new java.io.File(logPath)
+    f.exists() && f.list() != null && f.list().exists(n => !n.startsWith("_") || n == "_SUCCESS")
+  }
+
+  private def baseExists: Boolean = IndexManifest.exists(indexPath)
+
+  private def currentMaxSeq(): Long =
+    if (!logExists) -1L
+    else spark.read.parquet(logPath).agg(coalesce(max($"seq"), lit(-1L))).head().getLong(0)
+
+  private def baseIndex: Option[Bm25Index] =
+    if (baseExists) Some(new Bm25Index(spark, indexPath, Some(tokenizer), k1, b)) else None
+
+  /** The frozen avgdl (fit at build / supplied via withAvgdl); upserts drift
+    * it, exactly as the reference documents (`search.rs:78-81`).
+    */
+  def avgdl: Float =
+    fixedAvgdl.orElse(baseIndex.map(_.manifest.avgdl)).getOrElse(Embedder.FallbackAvgdl)
+
+  private def embedder = new Embedder(Bm25Params(k1, b, avgdl), tokenizer)
+
+  def surrogate(key: String): Long = FxHash.hash64(key) & Long.MaxValue
+
+  // ---------------------------------------------------------------- mutation
+
+  def upsert(docs: Seq[Doc]): Unit = appendLog(docs.zipWithIndex.map { case (d, i) =>
+    LogRow(surrogate(d.id), d.id, d.contents, nextSeq + i, tombstone = false)
+  })
+
+  def upsert(doc: Doc): Unit = upsert(Seq(doc))
+
+  def remove(id: String): Unit = appendLog(Seq(
+    LogRow(surrogate(id), id, "", nextSeq, tombstone = true)))
+
+  private def appendLog(rows: Seq[LogRow]): Unit = {
+    rows.toDS().coalesce(1).write.mode(SaveMode.Append).parquet(logPath)
+    nextSeq = rows.iterator.map(_.seq).max + 1
+  }
+
+  // ---------------------------------------------------------------- doc read
+
+  /** Latest-seq-wins live view of the doc store. */
+  def liveDocs: Dataset[Doc] = {
+    if (!logExists) return spark.emptyDataset[Doc]
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"doc_id").orderBy($"seq".desc)
+    spark.read.parquet(logPath)
+      .withColumn("rn", row_number().over(w))
+      .where($"rn" === 1 && !$"tombstone")
+      .select($"key".as("id"), $"contents")
+      .as[Doc]
+  }
+
+  def get(id: String): Option[Doc] =
+    liveDocs.where($"id" === id).collect().headOption
+
+  def iter(): Dataset[Doc] = liveDocs
+
+  def count(): Long = liveDocs.count()
+
+  // -------------------------------------------------------------- base index
+
+  /** Batch-builds the base index from the current live docs (distributed,
+    * checkpointed — see IndexBuilder), then seals the covered log seq.
+    */
+  def buildBase(cfg: IndexBuildConfig = IndexBuildConfig(numShards = 4, shardGroups = 2),
+                avgdlOverride: Option[Float] = None): Unit = {
+    val corpus = liveDocs.mapPartitions { it =>
+      it.map(d => CorpusDoc(FxHash.hash64(d.id) & Long.MaxValue, d.contents))
+    }
+    val n = corpus.count()
+    val distinctIds = corpus.select($"doc_id").distinct().count()
+    require(n == distinctIds, s"doc key hash collision: $n docs, $distinctIds distinct surrogates")
+    IndexBuilder.build(spark, corpus, tokenizer, indexPath, cfg,
+      Map("source" -> logPath, "rows" -> n.toString), avgdlOverride)
+    sealBase()
+  }
+
+  /** Log seq covered by the current base (recorded at build). */
+  private def builtSeqMarker: Long =
+    Checkpoints.readAll(indexPath).get("base_seq") match {
+      case Some(s) =>
+        new com.fasterxml.jackson.databind.ObjectMapper().readTree(s).get("seq").asLong()
+      case None => -1L
+    }
+
+  private def sealBase(): Unit =
+    Checkpoints.commit(indexPath, "base_seq", Map("seq" -> (nextSeq - 1)))
+
+  /** Live docs newer than the base, plus all doc ids superseded since. */
+  private def deltaState(): (Array[(Long, String)], Array[Long]) = {
+    if (!logExists) return (Array.empty, Array.empty)
+    val baseSeq = if (baseExists) builtSeqMarker else -1L
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"doc_id").orderBy($"seq".desc)
+    val latest = spark.read.parquet(logPath)
+      .withColumn("rn", row_number().over(w)).where($"rn" === 1).drop("rn")
+    val changed = latest.where($"seq" > baseSeq)
+    val live = changed.where(!$"tombstone")
+      .select($"doc_id", $"contents").as[(Long, String)].collect()
+    val superseded = changed.select($"doc_id").as[Long].collect()
+    (live, superseded)
+  }
+
+  private def liveN(baseN: Long, superseded: Array[Long], deltaLiveCount: Int): Long = {
+    // N = base docs − superseded ids that existed in base + live delta docs.
+    val inBase: Long =
+      if (baseExists && superseded.nonEmpty)
+        spark.read.parquet(s"$indexPath/forward")
+          .where($"doc_id".isin(superseded.map(Long.box): _*))
+          .count()
+      else 0L
+    baseN - inBase + deltaLiveCount
+  }
+
+  // ----------------------------------------------------------------- search
+
+  /** Top-`limit` search ((score desc, key asc)-deterministic; `None` returns
+    * every doc sharing ≥1 query term, like the reference's unlimited mode).
+    */
+  def search(query: String, limit: Option[Int] = None): Seq[SearchResult] = {
+    val emb = embedder
+    val qOcc = tokenizer.tokenize(query).map(FxHash.hash32u)
+    if (qOcc.isEmpty) return Seq.empty
+    val distinctTerms = qOcc.distinct
+    val qset = distinctTerms.toSet
+
+    val (deltaLive, superseded) = deltaState()
+    val supersededSet = superseded.toSet
+
+    val base: Dataset[Posting] =
+      baseIndex.map(_.postingsFor(distinctTerms)).getOrElse(spark.emptyDataset[Posting])
+    val baseFiltered =
+      if (supersededSet.isEmpty) base
+      else { val s = supersededSet; base.filter(p => !s.contains(p.doc_id)) }
+    val deltaCands: Seq[Posting] = deltaLive.toSeq.flatMap { case (docId, contents) =>
+      val (terms, tfs, dl) = emb.termFrequencies(contents)
+      terms.indices.collect { case i if qset.contains(terms(i)) => Posting(docId, terms(i), tfs(i), dl) }
+    }
+    val cands = baseFiltered.union(spark.createDataset(deltaCands)).persist()
+    try {
+      // exact live df per query term + live N (mirrors scorer.rs:99-107 state)
+      val dfLive: Map[Long, Long] = cands.groupBy($"term")
+        .agg(countDistinct($"doc_id").as("df")).as[(Long, Long)].collect().toMap
+      if (dfLive.isEmpty) return Seq.empty
+      val baseN = baseIndex.map(_.manifest.nDocs).getOrElse(0L)
+      val nLive = liveN(baseN, superseded, deltaLive.length)
+
+      val idfs: Map[Long, Float] = distinctTerms.iterator.map { t =>
+        t -> graft.bm25.Bm25Math.idf(nLive, dfLive.getOrElse(t, 0L))
+      }.toMap
+
+      val qOccL = qOcc
+      val scored = cands.groupByKey(_.doc_id).mapGroups { (docId, ps) =>
+        val values = new java.util.HashMap[Long, Float](16)
+        ps.foreach(p => values.putIfAbsent(p.term, emb.weight(p.tf, p.dl)))
+        var score = 0.0f
+        var i = 0
+        while (i < qOccL.length) {
+          val v = values.get(qOccL(i))
+          if (v != 0.0f) score += idfs(qOccL(i)) * v
+          i += 1
+        }
+        ScoredDoc(docId, score)
+      }
+      val sorted = scored.orderBy($"score".desc, $"doc_id".asc)
+      val hits = limit.map(sorted.limit).getOrElse(sorted).as[ScoredDoc].collect()
+      if (hits.isEmpty) return Seq.empty
+
+      val ids = hits.map(_.doc_id)
+      val contents = liveDocs.mapPartitions { it =>
+        it.map(d => (FxHash.hash64(d.id) & Long.MaxValue, d.id, d.contents))
+      }.toDF("doc_id", "key", "contents")
+        .where($"doc_id".isin(ids.map(Long.box): _*))
+        .as[(Long, String, String)].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap
+
+      hits.toSeq.flatMap { h =>
+        contents.get(h.doc_id).map { case (key, c) => SearchResult(key, c, h.score) }
+      }
+    } finally cands.unpersist()
+  }
+
+  /** Distributed compaction: folds all pending deltas into a fresh base
+    * index (built via the checkpointed distributed builder) and swaps it in.
+    */
+  def compact(cfg: IndexBuildConfig = IndexBuildConfig(numShards = 4, shardGroups = 2)): Unit = {
+    val frozenAvgdl = avgdl // compaction is physical: scores must not move
+    val sealSeq = nextSeq - 1
+    val tmp = s"$dir/index_compacting"
+    deleteRecursively(new java.io.File(tmp))
+    val corpus = liveDocs.mapPartitions { it =>
+      it.map(d => CorpusDoc(FxHash.hash64(d.id) & Long.MaxValue, d.contents))
+    }
+    IndexBuilder.build(spark, corpus, tokenizer, tmp, cfg,
+      Map("source" -> logPath), Some(frozenAvgdl))
+    val old = new java.io.File(indexPath)
+    if (old.exists()) {
+      val bak = new java.io.File(s"$dir/index_old")
+      deleteRecursively(bak)
+      old.renameTo(bak)
+    }
+    new java.io.File(tmp).renameTo(new java.io.File(indexPath))
+    Checkpoints.commit(indexPath, "base_seq", Map("seq" -> sealSeq))
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete(): Unit
+  }
+}
+
+object SearchEngine {
+
+  /** `SearchEngineBuilder::with_avgdl` (`search.rs:161-171`). */
+  def withAvgdl(spark: SparkSession, dir: String, avgdl: Float,
+                language: Language = Language.English,
+                tokenizer: Option[TextTokenizer] = None,
+                k1: Float = 1.2f, b: Float = 0.75f): SearchEngine =
+    new SearchEngine(spark, dir, tokenizer.getOrElse(Bm25Tokenizer(language)), k1, b, Some(avgdl))
+
+  /** `SearchEngineBuilder::with_documents(...).build()` (`search.rs:268-273` +
+    * `search.rs:244-254`): fit avgdl to the docs, batch-build the base
+    * index, pre-populate the doc store.
+    */
+  def withDocuments(spark: SparkSession, dir: String, docs: Seq[Doc],
+                    language: Language = Language.English,
+                    tokenizer: Option[TextTokenizer] = None,
+                    k1: Float = 1.2f, b: Float = 0.75f,
+                    cfg: IndexBuildConfig = IndexBuildConfig(numShards = 4, shardGroups = 2)): SearchEngine = {
+    val tok = tokenizer.getOrElse(Bm25Tokenizer(language))
+    val eng = new SearchEngine(spark, dir, tok, k1, b, None)
+    if (docs.nonEmpty) {
+      // Fit avgdl over the docs AS GIVEN (duplicates included), mirroring
+      // `with_tokenizer_and_documents` (`search.rs:176-193`), which fits
+      // before the dedup-by-upsert loop.
+      val avgdl = Embedder.fitAvgdlLocal(docs.iterator.map(_.contents), tok)
+      eng.upsert(docs)
+      eng.buildBase(cfg, Some(avgdl))
+    }
+    eng
+  }
+
+  /** `with_corpus`: auto ids 0..n−1 (`search.rs:199-209`). */
+  def withCorpus(spark: SparkSession, dir: String, corpus: Seq[String],
+                 language: Language = Language.English,
+                 k1: Float = 1.2f, b: Float = 0.75f): SearchEngine =
+    withDocuments(spark, dir, corpus.zipWithIndex.map { case (c, i) => Doc(i.toString, c) },
+      language, None, k1, b)
+
+  /** Open an existing engine directory. */
+  def open(spark: SparkSession, dir: String,
+           language: Language = Language.English,
+           tokenizer: Option[TextTokenizer] = None,
+           k1: Float = 1.2f, b: Float = 0.75f): SearchEngine =
+    new SearchEngine(spark, dir, tokenizer.getOrElse(Bm25Tokenizer(language)), k1, b, None)
+}

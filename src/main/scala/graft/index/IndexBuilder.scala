@@ -1,0 +1,271 @@
+package graft.index
+
+import graft.bm25.Embedder
+import graft.text.{Bm25Tokenizer, TextTokenizer}
+import org.apache.spark.sql.{Dataset, Encoders, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** A corpus document keyed by a Long surrogate id (see `graft.api` for the
+  * (repo, path, commit) / string-key adapters).
+  */
+final case class CorpusDoc(doc_id: Long, content: String)
+
+/** Forward-index row: one document's distinct terms + integer term
+  * frequencies + token count. This is the durable form of the reference's
+  * `Scorer.embeddings` map (`/root/reference/src/scorer.rs:21-24`) — storing
+  * (tf, dl) instead of the f32 weight keeps the index exact, parameter-free
+  * (any k1/b/avgdl can be applied at query time with bit-identical results,
+  * since the weight function is reconstructed in f32 from the same integers).
+  */
+final case class ForwardRow(doc_id: Long, shard: Int, dl: Int, terms: Array[Long], tfs: Array[Int])
+
+/** One compressed posting block: ≤ blockSize (doc_id, tf, dl) triples for a
+  * single term within one doc-range shard, delta+varbyte encoded, with
+  * block-max metadata (max_tf, min_dl ⇒ a safe upper bound on the BM25
+  * weight for any parameters — weight is monotone ↑tf, ↓dl).
+  */
+final case class PostingBlock(shard: Int, term: Long, block: Int, cnt: Int,
+                              max_tf: Int, min_dl: Int,
+                              docs: Array[Byte], tfs: Array[Byte], dls: Array[Byte])
+
+final case class IndexBuildConfig(
+    numShards: Int = 8,
+    blockSize: Int = 128,
+    termBuckets: Int = 64,
+    shardGroups: Int = 4, // checkpoint granularity for the postings stage
+    saltBuckets: Int = 16 // two-phase (salted) df aggregation fan-out
+)
+
+/** Distributed index build (SURVEY §7.4, north_star pipeline):
+  *
+  *   stage 1 `forward`    docs → tokenize+hash+tf (one narrow pass, no
+  *                        shuffle) → forward index partitioned by doc-range
+  *                        shard (range bounds from quantiles, recorded in the
+  *                        checkpoint lineage).
+  *   stage 2 `stats`      Σdl / N / avgdl — exact integer aggregate
+  *                        (`embedder.rs:213-237` semantics).
+  *   stage 3 `postings_*` per shard group: explode → shuffle by shard →
+  *                        sort (shard, term, doc_id) → streaming block
+  *                        encoder (delta+varbyte+block-max) → parquet
+  *                        partitioned by shard. No giant per-term groupBy:
+  *                        the sort-based encoder bounds memory regardless of
+  *                        term skew.
+  *   stage 4 `termstats`  df(term) via salted two-phase aggregation
+  *                        (explicit skew handling for hot terms) →
+  *                        parquet partitioned by term bucket.
+  *
+  * Every stage commits a checkpoint marker with lineage + metrics; a
+  * restarted build skips committed stages/groups (kill/resume test in
+  * IndexResumeSpec).
+  */
+object IndexBuilder {
+
+  def tokenizerConfig(t: TextTokenizer): TokenizerConfig = t match {
+    case b: Bm25Tokenizer => TokenizerConfig(b.language.name, b.normalization, b.stopwords, b.stemming)
+    case _                => TokenizerConfig("custom", normalization = false, stopwords = false, stemming = false)
+  }
+
+  /** @param avgdlOverride a pre-fit avgdl. The reference fits avgdl over the
+    *   corpus *as given* — including documents later replaced by id-duplicate
+    *   upserts (`search.rs:176-193` fits before the upsert loop at
+    *   `search.rs:244-254`) — so a caller deduplicating docs must fit first
+    *   and pass the value through.
+    */
+  def build(spark: SparkSession, docs: Dataset[CorpusDoc], tokenizer: TextTokenizer,
+            indexDir: String, cfg: IndexBuildConfig = IndexBuildConfig(),
+            lineage: Map[String, String] = Map.empty,
+            avgdlOverride: Option[Float] = None): IndexManifest = {
+    import spark.implicits._
+    val t0 = System.nanoTime()
+
+    if (IndexManifest.exists(indexDir)) return IndexManifest.read(indexDir)
+
+    // --- shard bounds (range partitioning of the doc-id space) ------------
+    val bounds: Array[Long] =
+      if (Checkpoints.isDone(indexDir, "bounds")) {
+        val s = Checkpoints.readAll(indexDir)("bounds")
+        val n = com.fasterxml.jackson.databind.json.JsonMapper.builder().build().readTree(s)
+        val b = n.get("bounds").asText()
+        if (b.isEmpty) Array.empty[Long] else b.split(",").map(_.toLong)
+      } else {
+        val probs = (1 until cfg.numShards).map(_.toDouble / cfg.numShards).toArray
+        val bs =
+          if (probs.isEmpty) Array.empty[Long]
+          else docs.toDF().stat.approxQuantile("doc_id", probs, 0.001).map(_.toLong)
+        Checkpoints.commit(indexDir, "bounds",
+          Map("bounds" -> bs.mkString(","), "numShards" -> cfg.numShards))
+        bs
+      }
+    def shardOf(docId: Long): Int = {
+      var lo = 0
+      var hi = bounds.length
+      while (lo < hi) { val mid = (lo + hi) >>> 1; if (docId < bounds(mid)) hi = mid else lo = mid + 1 }
+      lo
+    }
+
+    val fwdPath = s"$indexDir/forward"
+    val postingsPath = s"$indexDir/postings"
+    val termstatsPath = s"$indexDir/termstats"
+
+    // --- stage 1: forward index ------------------------------------------
+    if (!Checkpoints.isDone(indexDir, "forward")) {
+      val t = System.nanoTime()
+      val emb = new Embedder(graft.bm25.Bm25Params(), tokenizer) // tf/dl only; params unused
+      val fwd = docs.mapPartitions { it =>
+        it.map { d =>
+          val (terms, tfs, dl) = emb.termFrequencies(d.content)
+          ForwardRow(d.doc_id, shardOf(d.doc_id), dl, terms, tfs)
+        }
+      }
+      fwd.write.mode(SaveMode.Overwrite).partitionBy("shard").parquet(fwdPath)
+      val rows = spark.read.parquet(fwdPath).count()
+      Checkpoints.commit(indexDir, "forward", Map(
+        "rows" -> rows, "seconds" -> (System.nanoTime() - t) / 1e9))
+    }
+
+    // --- stage 2: corpus stats (N, Σdl, avgdl) ----------------------------
+    val (nDocs, sumDl) =
+      if (Checkpoints.isDone(indexDir, "stats")) {
+        val s = Checkpoints.readAll(indexDir)("stats")
+        val n = com.fasterxml.jackson.databind.json.JsonMapper.builder().build().readTree(s)
+        (n.get("nDocs").asLong(), n.get("sumDl").asLong())
+      } else {
+        val row = spark.read.parquet(fwdPath).agg(count(lit(1)), coalesce(sum($"dl"), lit(0L))).head()
+        val (n, s) = (row.getLong(0), row.getLong(1))
+        Checkpoints.commit(indexDir, "stats", Map("nDocs" -> n, "sumDl" -> s))
+        (n, s)
+      }
+    val avgdl = avgdlOverride.getOrElse(
+      if (nDocs == 0L) Embedder.FallbackAvgdl
+      else (sumDl.toDouble / nDocs.toDouble).toFloat)
+
+    // --- stage 3: posting blocks per shard group --------------------------
+    val groups = math.max(1, math.min(cfg.shardGroups, cfg.numShards))
+    val blockSize = cfg.blockSize
+    for (g <- 0 until groups) {
+      val name = s"postings_g$g"
+      if (!Checkpoints.isDone(indexDir, name)) {
+        val t = System.nanoTime()
+        val shardsInGroup = (0 until cfg.numShards).filter(_ % groups == g)
+        val fwd = spark.read.parquet(fwdPath)
+          .where($"shard".isin(shardsInGroup: _*))
+          .as[ForwardRow]
+        val exploded = fwd.flatMap { r =>
+          val out = new Array[(Int, Long, Long, Int, Int)](r.terms.length)
+          var i = 0
+          while (i < r.terms.length) { out(i) = (r.shard, r.terms(i), r.doc_id, r.tfs(i), r.dl); i += 1 }
+          out
+        }.toDF("shard", "term", "doc_id", "tf", "dl")
+        val blocks = exploded
+          .repartition(math.max(shardsInGroup.size, 1), $"shard")
+          .sortWithinPartitions($"shard", $"term", $"doc_id")
+          .as[(Int, Long, Long, Int, Int)]
+          .mapPartitions(encodeBlocks(_, blockSize))
+        blocks.write
+          .mode(SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("shard")
+          .parquet(postingsPath)
+        Checkpoints.commit(indexDir, name, Map(
+          "shards" -> shardsInGroup.mkString(","),
+          "seconds" -> (System.nanoTime() - t) / 1e9))
+      }
+    }
+
+    // --- stage 4: term stats (df) via salted two-phase aggregation --------
+    if (!Checkpoints.isDone(indexDir, "termstats")) {
+      val t = System.nanoTime()
+      val blocksDf = spark.read.parquet(postingsPath)
+      // salt on block id: partial sums per (term, salt), then final merge —
+      // bounds any single reducer's load for pathologically hot terms.
+      val partial = blocksDf
+        .groupBy($"term", pmod($"block", lit(cfg.saltBuckets)).as("salt"))
+        .agg(sum($"cnt").as("c"))
+      val df = partial.groupBy($"term").agg(sum($"c").as("df"))
+        .withColumn("bucket", pmod($"term", lit(cfg.termBuckets)).cast("int"))
+      df.repartition(cfg.termBuckets, $"bucket")
+        .sortWithinPartitions($"bucket", $"term")
+        .write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(termstatsPath)
+      Checkpoints.commit(indexDir, "termstats",
+        Map("seconds" -> (System.nanoTime() - t) / 1e9))
+    }
+
+    // --- finalize: metrics + manifest -------------------------------------
+    val stats = spark.read.parquet(termstatsPath).agg(
+      count(lit(1)), coalesce(max($"df"), lit(0L)), coalesce(avg($"df"), lit(0.0))).head()
+    val (vocab, maxDf, meanDf) = (stats.getLong(0), stats.getLong(1), stats.getDouble(2))
+    val pb = spark.read.parquet(postingsPath)
+      .agg(count(lit(1)), coalesce(sum(length($"docs") + length($"tfs") + length($"dls")), lit(0L)),
+        coalesce(sum($"cnt"), lit(0L))).head()
+    val (nBlocks, bytes, postings) = (pb.getLong(0), pb.getLong(1), pb.getLong(2))
+    val seconds = (System.nanoTime() - t0) / 1e9
+    val manifest = IndexManifest(
+      version = 1,
+      numShards = cfg.numShards,
+      blockSize = cfg.blockSize,
+      termBuckets = cfg.termBuckets,
+      tokenizer = tokenizerConfig(tokenizer),
+      nDocs = nDocs,
+      sumDl = sumDl,
+      avgdl = avgdl,
+      shardBounds = bounds,
+      lineage = lineage ++ Map("builder" -> "graft.index.IndexBuilder"),
+      metrics = Map(
+        "buildSeconds" -> seconds,
+        "docsPerSecond" -> (if (seconds > 0) nDocs / seconds else 0.0),
+        "postings" -> postings.toDouble,
+        "postingsPerSecond" -> (if (seconds > 0) postings / seconds else 0.0),
+        "blocks" -> nBlocks.toDouble,
+        "compressedBytes" -> bytes.toDouble,
+        "bytesPerPosting" -> (if (postings > 0) bytes.toDouble / postings else 0.0),
+        "vocabulary" -> vocab.toDouble,
+        "maxDf" -> maxDf.toDouble,
+        "dfSkewRatio" -> (if (meanDf > 0) maxDf / meanDf else 0.0)
+      )
+    )
+    manifest.write(indexDir)
+    manifest
+  }
+
+  /** Streaming block encoder over rows sorted by (shard, term, doc_id):
+    * groups consecutive runs, emits ≤blockSize-entry compressed blocks.
+    * Memory is O(blockSize) regardless of posting-list length.
+    */
+  private def encodeBlocks(it: Iterator[(Int, Long, Long, Int, Int)],
+                           blockSize: Int): Iterator[PostingBlock] =
+    new Iterator[PostingBlock] {
+      private val buf = it.buffered
+      private var curShard = -1
+      private var curTerm = 0L
+      private var blockNo = 0
+
+      def hasNext: Boolean = buf.hasNext
+
+      def next(): PostingBlock = {
+        val head = buf.head
+        if (head._1 != curShard || head._2 != curTerm) {
+          curShard = head._1; curTerm = head._2; blockNo = 0
+        }
+        val docs = new Array[Long](blockSize)
+        val tfs = new Array[Int](blockSize)
+        val dls = new Array[Int](blockSize)
+        var n = 0
+        var maxTf = 0
+        var minDl = Int.MaxValue
+        while (n < blockSize && buf.hasNext &&
+               buf.head._1 == curShard && buf.head._2 == curTerm) {
+          val (_, _, docId, tf, dl) = buf.next()
+          docs(n) = docId; tfs(n) = tf; dls(n) = dl
+          if (tf > maxTf) maxTf = tf
+          if (dl < minDl) minDl = dl
+          n += 1
+        }
+        val b = PostingBlock(curShard, curTerm, blockNo, n, maxTf, minDl,
+          PostingCodec.encodeDeltas(java.util.Arrays.copyOf(docs, n)),
+          PostingCodec.encodeInts(java.util.Arrays.copyOf(tfs, n)),
+          PostingCodec.encodeInts(java.util.Arrays.copyOf(dls, n)))
+        blockNo += 1
+        b
+      }
+    }
+}

@@ -1,0 +1,188 @@
+package graft.api
+
+import graft.SparkTestBase
+import graft.bm25.Bm25Math
+import graft.fixtures.Fixtures
+import graft.text.Language
+
+/** Mirrors the reference search-engine unit tests
+  * (`/root/reference/src/search.rs:321-490`) plus the pinned scorer vectors
+  * (`scorer.rs:197-263`), against the distributed engine.
+  */
+class SearchEngineSpec extends SparkTestBase {
+
+  private def engine(dir: String, corpus: Seq[String], lang: Language = Language.English) =
+    SearchEngine.withCorpus(spark, tmpDir(dir), corpus, lang)
+
+  test("search returns relevant documents") {
+    val eng = engine("rel", Seq("space station", "bacon and avocado sandwich"))
+    val results = eng.search("sandwich with bacon", Some(5))
+    assert(results.length === 1)
+    assert(results.head.contents === "bacon and avocado sandwich")
+    assert(results.head.score > 0.0f)
+  }
+
+  test("search does not return unrelated documents") {
+    val eng = engine("unrel", Seq("space station", "bacon and avocado sandwich"))
+    assert(eng.search("maths and computer science", Some(5)).isEmpty)
+  }
+
+  test("it can insert a document (delta-only path, no base index)") {
+    val eng = SearchEngine.withAvgdl(spark, tmpDir("ins"), 2.0f)
+    val doc = Doc("hello world", "bananas and apples")
+    eng.upsert(doc)
+    assert(eng.get("hello world").contains(doc))
+    // searchable through the delta path
+    val r = eng.search("bananas", None)
+    assert(r.length === 1 && r.head.id === "hello world")
+  }
+
+  test("it can remove a document") {
+    val eng = SearchEngine.withAvgdl(spark, tmpDir("rm"), 2.0f)
+    eng.upsert(Doc("123", "bananas and apples"))
+    eng.remove("123")
+    assert(eng.get("123").isEmpty)
+    assert(eng.search("bananas", None).isEmpty)
+  }
+
+  test("it can update a document") {
+    val eng = SearchEngine.withDocuments(spark, tmpDir("upd"),
+      Seq(Doc("hello_world", "bananas and apples")))
+    eng.upsert(Doc("hello_world", "oranges and papayas"))
+    assert(eng.get("hello_world").contains(Doc("hello_world", "oranges and papayas")))
+    assert(eng.search("bananas", None).isEmpty)
+    val r = eng.search("papayas", None)
+    assert(r.length === 1 && r.head.id === "hello_world")
+  }
+
+  test("handles empty input") {
+    val eng = SearchEngine.withAvgdl(spark, tmpDir("emptyd"), 2.0f)
+    eng.upsert(Doc("123", ""))
+    assert(eng.search("bacon sandwich", Some(5)).isEmpty)
+  }
+
+  test("handles empty search") {
+    val eng = SearchEngine.withAvgdl(spark, tmpDir("emptyq"), 2.0f)
+    eng.upsert(Doc("123", "pencil and paper"))
+    assert(eng.search("", Some(5)).isEmpty)
+  }
+
+  test("pinned scorer value: 1-of-2-docs single-token match scores ln 2") {
+    // scorer.rs:197-215 (via an engine whose weights are exactly 1.0: dl=1,
+    // avgdl=1 → weight(1,1)=1.0) — score = idf(2,1)·1.0 = 0.6931472.
+    val eng = SearchEngine.withAvgdl(spark, tmpDir("ln2"), 1.0f)
+    eng.upsert(Seq(Doc("0", "apple"), Doc("1", "banana")))
+    val r = eng.search("apple", None)
+    assert(r.length === 1)
+    assert(r.head.id === "0")
+    assert(java.lang.Float.floatToRawIntBits(r.head.score) ===
+      java.lang.Float.floatToRawIntBits(0.6931472f))
+  }
+
+  test("pinned idf vectors") {
+    assert(java.lang.Float.floatToRawIntBits(Bm25Math.idf(2, 1)) ===
+      java.lang.Float.floatToRawIntBits(0.6931472f))
+    assert(java.lang.Float.floatToRawIntBits(Bm25Math.idf(2, 2)) ===
+      java.lang.Float.floatToRawIntBits(0.1823216f))
+    // non-negative IDF regression (scorer.rs:218-234): df counts documents,
+    // not occurrences, and df ≤ N always → idf stays positive even when every
+    // doc contains the term.
+    assert(Bm25Math.idf(1, 1) > 0.0f)
+    assert(Bm25Math.idf(1000000, 1000000) > 0.0f)
+  }
+
+  lazy val enRecipes = Fixtures.recipesEn.map(r => Doc(r.title, r.method))
+  lazy val enEngine: SearchEngine =
+    SearchEngine.withDocuments(spark, tmpDir("recipes_en"), enRecipes)
+
+  test("it returns exact matches with highest score") {
+    val r = enEngine.search("To make guacamole, start by mashing 2 ripe avocados in a bowl.", None)
+    assert(r.nonEmpty)
+    assert(r.head.id === "Guacamole")
+  }
+
+  test("it only returns results containing query") {
+    val r = enEngine.search("vegetable", Some(5))
+    assert(r.length === 5)
+    assert(r.forall(_.contents.contains("vegetable")))
+  }
+
+  test("it returns results sorted by score") {
+    val r = enEngine.search("chicken", Some(1000))
+    assert(r.nonEmpty)
+    assert(r.sliding(2).forall(p => p.length < 2 || p(0).score >= p(1).score))
+  }
+
+  test("it ranks shorter documents higher") {
+    val eng = SearchEngine.withDocuments(spark, tmpDir("short"), Seq(
+      Doc("0", "Correct horse battery staple bacon bacon bacon"),
+      Doc("1", "Correct horse battery staple")))
+    val r = eng.search("staple", Some(2))
+    assert(r.map(_.id) === Seq("1", "0"))
+    assert(r(0).score > r(1).score)
+  }
+
+  test("it matches common unicode equivalents") {
+    val eng = engine("uni", Seq("étude"), Language.French)
+    val r1 = eng.search("etude", None)
+    val r2 = eng.search("étude", None)
+    assert(r1.length === 1 && r2.length === 1)
+    assert(r1 === r2)
+  }
+
+  test("it can search for emoji") {
+    val eng = engine("emoji", Seq("🔥"))
+    val r1 = eng.search("🔥", None)
+    val r2 = eng.search("fire", None)
+    assert(r1.length === 1 && r2.length === 1)
+    assert(r1 === r2)
+  }
+
+  test("delta mutations score exactly like a fresh engine on the live docs") {
+    // Remove + upsert against a built base, then compare every score against
+    // an engine built from scratch on the post-mutation corpus with the same
+    // frozen avgdl — exercises the live df/N correction path end to end.
+    val base = Seq(
+      Doc("a", "spark shuffle join"), Doc("b", "shuffle sort merge"),
+      Doc("c", "join broadcast hash"), Doc("d", "window aggregate state"))
+    val eng = SearchEngine.withDocuments(spark, tmpDir("delta1"), base)
+    val frozenAvgdl = eng.avgdl
+    eng.remove("b")
+    eng.upsert(Doc("e", "shuffle join window"))
+    eng.upsert(Doc("a", "spark catalyst optimizer")) // update
+
+    val live = Seq(
+      Doc("a", "spark catalyst optimizer"),
+      Doc("c", "join broadcast hash"), Doc("d", "window aggregate state"),
+      Doc("e", "shuffle join window"))
+    val fresh = SearchEngine.withAvgdl(spark, tmpDir("delta2"), frozenAvgdl)
+    fresh.upsert(live)
+
+    for (q <- Seq("shuffle join", "spark", "window state", "merge")) {
+      val got = eng.search(q, None).sortBy(_.id)
+      val exp = fresh.search(q, None).sortBy(_.id)
+      assert(got.map(_.id) === exp.map(_.id), s"query '$q' ids")
+      got.zip(exp).foreach { case (g, e) =>
+        assert(java.lang.Float.floatToRawIntBits(g.score) ===
+          java.lang.Float.floatToRawIntBits(e.score), s"query '$q' doc ${g.id}")
+      }
+    }
+  }
+
+  test("compaction preserves search results exactly") {
+    val base = Seq(
+      Doc("a", "spark shuffle join"), Doc("b", "shuffle sort merge"),
+      Doc("c", "join broadcast hash"))
+    val eng = SearchEngine.withDocuments(spark, tmpDir("cmp"), base)
+    eng.remove("b")
+    eng.upsert(Doc("e", "shuffle join window"))
+    val before = eng.search("shuffle join", None).sortBy(_.id)
+    eng.compact() // physical only: frozen avgdl carried through
+    val after = eng.search("shuffle join", None).sortBy(_.id)
+    assert(after.map(_.id) === before.map(_.id))
+    after.zip(before).foreach { case (g, e) =>
+      assert(java.lang.Float.floatToRawIntBits(g.score) ===
+        java.lang.Float.floatToRawIntBits(e.score))
+    }
+  }
+}

@@ -1,0 +1,72 @@
+package graft.index
+
+import graft.SparkTestBase
+import graft.text.Bm25Tokenizer
+
+/** Distributed-index tests over the driver-provided documents table
+  * (sf0.001, 500 docs): WAND ≡ exhaustive (rank- and bit-identical top-k),
+  * point-score consistency, pruning-friendly stats.
+  */
+class Bm25IndexSpec extends SparkTestBase {
+  import spark.implicits._
+
+  lazy val indexDir: String = {
+    val dir = tmpDir("idx_sf0001")
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .selectExpr("doc_id", "text as content").as[CorpusDoc]
+    IndexBuilder.build(spark, docs, Bm25Tokenizer.default, dir,
+      IndexBuildConfig(numShards = 4, shardGroups = 2),
+      Map("input" -> "/root/testdata/sf0.001/documents.parquet"))
+    dir
+  }
+
+  lazy val index = new Bm25Index(spark, indexDir)
+
+  test("index builds with sane stats") {
+    val m = index.manifest
+    assert(m.nDocs === 500L)
+    assert(m.avgdl > 0f)
+    assert(m.metrics("postings") > 0)
+    assert(m.metrics("bytesPerPosting") < 8.0,
+      s"varbyte blocks should beat 8B/posting, got ${m.metrics("bytesPerPosting")}")
+  }
+
+  test("WAND top-k is rank- and score-identical to exhaustive") {
+    for (q <- Seq("merge join sort", "spark window batch stream", "the fast key"); k <- Seq(5, 20)) {
+      val ex = index.search(q, Some(k), mode = "exhaustive").collect()
+      val wd = index.search(q, Some(k), mode = "wand").collect()
+      assert(wd.map(_.doc_id).toSeq === ex.map(_.doc_id).toSeq, s"q='$q' k=$k ids")
+      wd.zip(ex).foreach { case (w, e) =>
+        assert(java.lang.Float.floatToRawIntBits(w.score) ===
+          java.lang.Float.floatToRawIntBits(e.score), s"q='$q' k=$k doc ${w.doc_id}")
+      }
+    }
+  }
+
+  test("scoreDoc matches the search score for a hit, None for absent doc") {
+    val q = "merge join sort"
+    val top = index.search(q, Some(3)).collect()
+    assert(top.nonEmpty)
+    top.foreach { h =>
+      val s = index.scoreDoc(h.doc_id, q)
+      assert(s.isDefined)
+      assert(java.lang.Float.floatToRawIntBits(s.get) ===
+        java.lang.Float.floatToRawIntBits(h.score))
+    }
+    assert(index.scoreDoc(999999999L, q).isEmpty)
+  }
+
+  test("empty query and unknown terms yield empty results") {
+    assert(index.search("", Some(5)).isEmpty)
+    assert(index.search("zzzunseenwordzzz", Some(5)).isEmpty)
+  }
+
+  test("df from termstats equals live distinct count from postings") {
+    val terms = index.queryTerms("merge join").distinct
+    val dfs = index.termDfs(terms)
+    val live = index.postingsFor(terms).groupByKey(_.term).count().collect().toMap
+    terms.foreach { t =>
+      assert(dfs.get(t) === live.get(t), s"term $t df mismatch")
+    }
+  }
+}
