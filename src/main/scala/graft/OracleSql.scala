@@ -1,0 +1,234 @@
+package graft
+
+/** DuckDB 1.0 oracle SQL for each SQL-expressible entry in Queries.all.
+  * Tables are registered by bare name (documents, embeddings, lineitem, …)
+  * over the same sfDir parquet. Column names, rounding, and ORDER BY match
+  * the Spark side exactly (see Queries scaladoc for the parity conventions).
+  */
+object OracleSql {
+
+  private val nltkEn: String =
+    graft.text.Stopwords.english.toSeq.sorted.map(w => "'" + w.replace("'", "''") + "'").mkString(", ")
+
+  val all: Map[String, String] = Map(
+
+    "ft_token_counts" ->
+      s"""SELECT doc_id, len(list_filter(string_split(text, ' '), w -> w NOT IN ($nltkEn))) AS n_tokens
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "ft_avgdl_by_lang" ->
+      s"""SELECT lang,
+         |  round(sum(len(list_filter(string_split(text, ' '), w -> w NOT IN ($nltkEn))))::DOUBLE / count(*), 4) AS avgdl,
+         |  count(*) AS n_docs
+         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "ft_df_topterms" ->
+      """SELECT token, count(DISTINCT doc_id) AS df FROM (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+        |) WHERE len(token) > 0
+        |GROUP BY token ORDER BY df DESC, token LIMIT 50""".stripMargin,
+
+    "ft_bm25_topk" ->
+      """WITH words AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |), stats AS (
+        |  SELECT sum(len(ws))::DOUBLE / count(*) AS avgdl, count(*) AS n FROM words
+        |), tf AS (
+        |  SELECT doc_id, w AS term, count(*) AS tf, any_value(dl) AS dl FROM (
+        |    SELECT doc_id, unnest(ws) AS w, len(ws) AS dl FROM words
+        |  ) GROUP BY doc_id, w
+        |), df AS (
+        |  SELECT term, count(*) AS df FROM tf GROUP BY term
+        |), q AS (
+        |  SELECT unnest(['merge', 'join', 'sort', 'table']) AS term
+        |)
+        |SELECT tf.doc_id AS doc_id,
+        |  round(sum(ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+        |      * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / stats.avgdl))), 3) AS score_r
+        |FROM tf JOIN q USING (term) JOIN df USING (term) CROSS JOIN stats
+        |GROUP BY tf.doc_id
+        |ORDER BY score_r DESC, doc_id LIMIT 20""".stripMargin,
+
+    "dedup_exact" ->
+      """WITH h AS (SELECT doc_id, md5(text) AS h FROM documents),
+        |k AS (SELECT h, min(doc_id) AS keep_id, count(*) AS dup_cnt FROM h GROUP BY h)
+        |SELECT doc_id, keep_id, dup_cnt FROM h JOIN k USING (h) ORDER BY doc_id""".stripMargin,
+
+    "dedup_jaccard_block" ->
+      """WITH d AS (
+        |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws,
+        |         (doc_id // 50) AS blk
+        |  FROM documents
+        |)
+        |SELECT a.doc_id AS a, b.doc_id AS b,
+        |  round(len(list_intersect(a.ws, b.ws))::DOUBLE
+        |        / (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))), 4) AS jaccard
+        |FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id
+        |WHERE len(list_intersect(a.ws, b.ws))::DOUBLE
+        |      / (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))) >= 0.8
+        |ORDER BY a, b""".stripMargin,
+
+    "dedup_minhash_sig" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |), sh AS (
+        |  SELECT doc_id,
+        |    list_transform(range(1, len(ws) - 1),
+        |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS shingles
+        |  FROM d WHERE len(ws) >= 3
+        |), sig AS (
+        |  SELECT doc_id,
+        |    list_aggregate(list_transform(shingles, s -> md5('0:' || s)), 'min') AS h0,
+        |    list_aggregate(list_transform(shingles, s -> md5('1:' || s)), 'min') AS h1,
+        |    list_aggregate(list_transform(shingles, s -> md5('2:' || s)), 'min') AS h2,
+        |    list_aggregate(list_transform(shingles, s -> md5('3:' || s)), 'min') AS h3,
+        |    list_aggregate(list_transform(shingles, s -> md5('4:' || s)), 'min') AS h4,
+        |    list_aggregate(list_transform(shingles, s -> md5('5:' || s)), 'min') AS h5,
+        |    list_aggregate(list_transform(shingles, s -> md5('6:' || s)), 'min') AS h6,
+        |    list_aggregate(list_transform(shingles, s -> md5('7:' || s)), 'min') AS h7
+        |  FROM sh
+        |)
+        |SELECT doc_id, md5(h0 || h1) AS band0, md5(h2 || h3) AS band1,
+        |       md5(h4 || h5) AS band2, md5(h6 || h7) AS band3
+        |FROM sig ORDER BY doc_id""".stripMargin,
+
+    "dedup_minhash_pairs" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |), sh AS (
+        |  SELECT doc_id,
+        |    list_transform(range(1, len(ws) - 1),
+        |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS shingles
+        |  FROM d WHERE len(ws) >= 3
+        |), sig AS (
+        |  SELECT doc_id,
+        |    list_aggregate(list_transform(shingles, s -> md5('0:' || s)), 'min') AS h0,
+        |    list_aggregate(list_transform(shingles, s -> md5('1:' || s)), 'min') AS h1,
+        |    list_aggregate(list_transform(shingles, s -> md5('2:' || s)), 'min') AS h2,
+        |    list_aggregate(list_transform(shingles, s -> md5('3:' || s)), 'min') AS h3,
+        |    list_aggregate(list_transform(shingles, s -> md5('4:' || s)), 'min') AS h4,
+        |    list_aggregate(list_transform(shingles, s -> md5('5:' || s)), 'min') AS h5,
+        |    list_aggregate(list_transform(shingles, s -> md5('6:' || s)), 'min') AS h6,
+        |    list_aggregate(list_transform(shingles, s -> md5('7:' || s)), 'min') AS h7
+        |  FROM sh
+        |), bands AS (
+        |  SELECT doc_id, 0 AS band, md5(h0 || h1) AS bucket FROM sig
+        |  UNION ALL SELECT doc_id, 1, md5(h2 || h3) FROM sig
+        |  UNION ALL SELECT doc_id, 2, md5(h4 || h5) FROM sig
+        |  UNION ALL SELECT doc_id, 3, md5(h6 || h7) FROM sig
+        |)
+        |SELECT band, bucket, count(*) AS cnt, min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |FROM bands GROUP BY band, bucket HAVING count(*) > 1
+        |ORDER BY band, bucket""".stripMargin,
+
+    "dedup_embedding_cosine" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+        |SELECT a.vec_id AS a, b.vec_id AS b,
+        |  round(list_cosine_similarity(a.v, b.v), 4) AS cos_r
+        |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.v, b.v) >= 0.35
+        |ORDER BY a, b""".stripMargin,
+
+    "sim_cosine_topk" ->
+      """WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0)
+        |SELECT vec_id, round(list_cosine_similarity(embedding::DOUBLE[], qe), 4) AS cos_r
+        |FROM embeddings CROSS JOIN q
+        |WHERE vec_id <> 0
+        |ORDER BY cos_r DESC, vec_id LIMIT 20""".stripMargin,
+
+    "textq_quality" ->
+      s"""WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents)
+         |SELECT doc_id,
+         |  length(text) AS n_chars_actual,
+         |  len(ws) AS n_ws,
+         |  round(list_sum(list_transform(ws, w -> length(w)))::DOUBLE / len(ws), 4) AS mean_wlen,
+         |  round(len(list_filter(ws, w -> w IN ($nltkEn)))::DOUBLE / len(ws), 4) AS stop_ratio,
+         |  round(len(list_distinct(ws))::DOUBLE / len(ws), 4) AS distinct_ratio
+         |FROM d ORDER BY doc_id""".stripMargin,
+
+    "textq_langid" ->
+      """WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents),
+        |c AS (
+        |  SELECT doc_id, lang,
+        |    len(list_filter(ws, w -> w IN ('the', 'a', 'of', 'and', 'in', 'to', 'is'))) AS c_en,
+        |    len(list_filter(ws, w -> w IN ('der', 'die', 'das', 'und', 'ist', 'ein', 'zu'))) AS c_de,
+        |    len(list_filter(ws, w -> w IN ('el', 'la', 'de', 'que', 'y', 'en', 'un'))) AS c_es,
+        |    len(list_filter(ws, w -> w IN ('le', 'les', 'de', 'et', 'un', 'est', 'que'))) AS c_fr
+        |  FROM d
+        |), p AS (
+        |  SELECT lang,
+        |    CASE WHEN c_en = 0 AND c_de = 0 AND c_es = 0 AND c_fr = 0 THEN 'und'
+        |         WHEN c_en >= c_de AND c_en >= c_es AND c_en >= c_fr THEN 'en'
+        |         WHEN c_de >= c_es AND c_de >= c_fr THEN 'de'
+        |         WHEN c_es >= c_fr THEN 'es'
+        |         ELSE 'fr' END AS predicted
+        |  FROM c
+        |)
+        |SELECT lang, predicted, count(*) AS cnt FROM p
+        |GROUP BY lang, predicted ORDER BY lang, predicted""".stripMargin,
+
+    "textq_fingerprint" ->
+      """SELECT doc_id,
+        |  list_reduce(list_prepend(7::BIGINT,
+        |      list_transform(string_split(text, ' '), w -> (length(w) * 31 + ascii(w))::BIGINT)),
+        |    (acc, x) -> (acc * 131 + x) % 1000000007) AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "textq_tokencount_bpe" ->
+      """SELECT doc_id,
+        |  len(regexp_extract_all(text, '[a-z]+|[0-9]|[^a-z0-9 ]')) AS n_bpeish,
+        |  len(string_split(text, ' ')) AS n_ws
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "mm_binary_meta" ->
+      """WITH b AS (SELECT doc_id, text, encode(text) AS blob FROM documents)
+        |SELECT doc_id,
+        |  octet_length(blob) AS n_bytes,
+        |  280 + (octet_length(blob) % 360) AS width,
+        |  160 + (octet_length(blob) % 320) AS height,
+        |  1 + (octet_length(blob) % 16) AS frames,
+        |  sha256(text) AS sha
+        |FROM b ORDER BY doc_id""".stripMargin,
+
+    "rel_q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "rel_join_topn" ->
+      """WITH t AS (
+        |  SELECT r_name, c_custkey, round(sum(o_totalprice), 2) AS total
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  GROUP BY r_name, c_custkey
+        |), r AS (
+        |  SELECT r_name, c_custkey, total,
+        |    row_number() OVER (PARTITION BY r_name ORDER BY total DESC, c_custkey) AS rk
+        |  FROM t
+        |)
+        |SELECT r_name, rk, c_custkey, total FROM r WHERE rk <= 3
+        |ORDER BY r_name, rk""".stripMargin,
+
+    "rel_window_running" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |  round(sum(l_quantity) OVER (
+        |    PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_qty
+        |FROM lineitem WHERE l_suppkey < 5
+        |ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber""".stripMargin,
+
+    "evt_window_agg" ->
+      """SELECT floor(epoch(ts) / 300)::BIGINT AS bucket, event_type,
+        |  count(*) AS n,
+        |  round(sum(value), 2) AS sum_value,
+        |  count(DISTINCT user_id) AS users,
+        |  round(avg(regexp_extract(props, '([0-9]+)', 1)::BIGINT), 4) AS avg_k
+        |FROM events GROUP BY bucket, event_type
+        |ORDER BY bucket, event_type LIMIT 500""".stripMargin
+  )
+}

@@ -1,0 +1,433 @@
+package graft
+
+import graft.index._
+import graft.text.{Bm25Tokenizer, FnTokenizer, FxHash, TextTokenizer}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The driver-facing query catalog: every entry is one operator/capability
+  * from SURVEY.md §2 (or a training-data-pipeline extension), expressed as a
+  * Spark plan over the sfDir parquet tables, with (where SQL-expressible) a
+  * DuckDB oracle in `oracles` computing the identical result.
+  *
+  * Conventions for oracle parity:
+  *   - identical column NAMES and deterministic ORDER BY on both sides;
+  *   - floating results computed in double precision on both sides and
+  *     rounded (the engine's reference-exact f32 path is validated by the
+  *     sbt test suite against the Rust snapshots instead — stronger than a
+  *     cross-dialect float compare);
+  *   - only functions DuckDB 1.0 has offline (no fts/stem extension).
+  */
+object Queries {
+
+  // --------------------------------------------------------------- helpers
+
+  private def docs(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/documents.parquet")
+
+  private def tbl(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** Whitespace tokenizer (the custom-tokenizer hook T7,
+    * `/root/reference/src/tokenizer.rs:3-6`): used for the SQL-checkable
+    * index queries — DuckDB can reproduce `string_split(text, ' ')` but not
+    * Snowball stemming.
+    */
+  val simpleTokenizer: TextTokenizer =
+    new FnTokenizer(s => s.split(' ').iterator.filter(_.nonEmpty).toSeq)
+
+  /** One shared index per (sfDir, tokenizer-kind), built on first use under
+    * java.io.tmpdir (IndexBuilder short-circuits on the manifest, so reuse
+    * across queries and runs is free).
+    */
+  def cachedIndex(spark: SparkSession, sfDir: String, kind: String, tok: TextTokenizer): String = {
+    val safe = sfDir.replaceAll("[^a-zA-Z0-9.]", "_")
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_idx_${safe}_$kind"
+    import spark.implicits._
+    val corpus = docs(spark, sfDir).selectExpr("doc_id", "text as content").as[CorpusDoc]
+    IndexBuilder.build(spark, corpus, tok, dir,
+      IndexBuildConfig(numShards = 8, shardGroups = 2), Map("input" -> sfDir))
+    dir
+  }
+
+  private val nltkEnSql: String =
+    graft.text.Stopwords.english.toSeq.sorted.map(w => "'" + w.replace("'", "''") + "'").mkString(", ")
+
+  // Language-ID mini stopword lists (shared literally by both sides).
+  private val langLists = Seq(
+    "en" -> Seq("the", "a", "of", "and", "in", "to", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "zu"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un"),
+    "fr" -> Seq("le", "les", "de", "et", "un", "est", "que"))
+  private def inList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString(", ")
+
+  // ================================================================ queries
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---------------------------------------------------- full-text engine
+
+    // T1–T4 over the real tokenizer: token counts per doc (stemming is
+    // count-preserving, so the SQL oracle filters NLTK stopwords only).
+    "ft_token_counts" -> { (spark, sfDir) =>
+      import spark.implicits._
+      val tok = Bm25Tokenizer.default
+      docs(spark, sfDir).select($"doc_id", $"text").as[(Long, String)]
+        .mapPartitions { it => it.map { case (id, t) => (id, tok.tokenize(t).length) } }
+        .toDF("doc_id", "n_tokens")
+        .orderBy($"doc_id")
+    },
+
+    // E3: avgdl per language partition (real tokenizer), double-rounded.
+    "ft_avgdl_by_lang" -> { (spark, sfDir) =>
+      import spark.implicits._
+      val tok = Bm25Tokenizer.default
+      docs(spark, sfDir).select($"lang", $"text").as[(String, String)]
+        .mapPartitions { it => it.map { case (l, t) => (l, tok.tokenize(t).length) } }
+        .toDF("lang", "n")
+        .groupBy($"lang")
+        .agg(round(sum($"n").cast("double") / count(lit(1)), 4).as("avgdl"),
+          count(lit(1)).as("n_docs"))
+        .orderBy($"lang")
+    },
+
+    // I3: document frequency via the index's salted termstats, joined back
+    // to token strings through a driver-checkable dictionary.
+    "ft_df_topterms" -> { (spark, sfDir) =>
+      import spark.implicits._
+      val dir = cachedIndex(spark, sfDir, "simple", simpleTokenizer)
+      val terms = spark.read.parquet(s"$dir/termstats").select($"term", $"df")
+      val dict = docs(spark, sfDir)
+        .select(explode(split($"text", " ")).as("token"))
+        .where(length($"token") > 0)
+        .distinct()
+        .as[String]
+        .map(t => (FxHash.hash32u(t), t))
+        .toDF("term", "token")
+      terms.join(dict, "term")
+        .select($"token", $"df")
+        .orderBy($"df".desc, $"token")
+        .limit(50)
+    },
+
+    // Q3 + I5/I6: full BM25 top-k over the distributed index (simple
+    // tokenizer; double-precision scoring for cross-engine parity — the f32
+    // reference path is snapshot-gated in sbt tests). k1=1.2, b=0.75.
+    "ft_bm25_topk" -> { (spark, sfDir) =>
+      import spark.implicits._
+      val dir = cachedIndex(spark, sfDir, "simple", simpleTokenizer)
+      val idx = new Bm25Index(spark, dir, Some(simpleTokenizer))
+      val qTerms = idx.queryTerms("merge join sort table").distinct
+      val dfs = idx.termDfs(qTerms).toSeq.toDF("term", "df")
+      val n = idx.nDocs.toDouble
+      // avgdl in f64 from the forward index (matches DuckDB's avg())
+      val avg = spark.read.parquet(s"$dir/forward")
+        .agg(sum($"dl").cast("double") / count(lit(1))).head().getDouble(0)
+      val posts = idx.postingsFor(qTerms).toDF()
+      posts.join(broadcast(dfs), "term")
+        .withColumn("idf", log(lit(1.0) + (lit(n) - $"df" + lit(0.5)) / ($"df" + lit(0.5))))
+        .withColumn("w", $"tf" * lit(2.2) / ($"tf" + lit(1.2) * (lit(0.25) + lit(0.75) * $"dl" / lit(avg))))
+        .groupBy($"doc_id")
+        .agg(round(sum($"idf" * $"w"), 3).as("score_r"))
+        .orderBy($"score_r".desc, $"doc_id")
+        .limit(20)
+    },
+
+    // Q3 through the reference-exact f32 engine + contents join (not
+    // SQL-expressible → rows-only check here; bit-exactness is sbt-gated).
+    "ft_search_real" -> { (spark, sfDir) =>
+      val dir = cachedIndex(spark, sfDir, "real", Bm25Tokenizer.default)
+      val idx = new Bm25Index(spark, dir)
+      Bm25Index.searchWithContents(idx, docs(spark, sfDir), "doc_id", "text",
+        "merge join sort stream", Some(20), mode = "wand")
+    },
+
+    // ------------------------------------------------------------- dedup
+
+    "dedup_exact" -> { (spark, sfDir) =>
+      import spark.implicits._
+      val d = docs(spark, sfDir).select($"doc_id", md5($"text").as("h"))
+      val keep = d.groupBy($"h").agg(min($"doc_id").as("keep_id"), count(lit(1)).as("dup_cnt"))
+      d.join(keep, "h")
+        .select($"doc_id", $"keep_id", $"dup_cnt")
+        .orderBy($"doc_id")
+    },
+
+    "dedup_jaccard_block" -> { (spark, sfDir) =>
+      import spark.implicits._
+      val d = docs(spark, sfDir)
+        .select($"doc_id", array_distinct(split($"text", " ")).as("ws"),
+          floor($"doc_id" / 50).as("blk"))
+      val a = d.select($"blk", $"doc_id".as("a"), $"ws".as("wa"))
+      val b = d.select($"blk", $"doc_id".as("b"), $"ws".as("wb"))
+      a.join(b, Seq("blk")).where($"a" < $"b")
+        .withColumn("jac",
+          size(array_intersect($"wa", $"wb")).cast("double") / size(array_union($"wa", $"wb")))
+        .where($"jac" >= 0.8)
+        .select($"a", $"b", round($"jac", 4).as("jaccard"))
+        .orderBy($"a", $"b")
+    },
+
+    // MinHash signatures: 8 md5-hash functions over word 3-shingles, banded
+    // 4×2 (shingle → minhash → band → bucket-join is the LSH scale path).
+    "dedup_minhash_sig" -> { (spark, sfDir) =>
+      import spark.implicits._
+      val d = docs(spark, sfDir).select($"doc_id", split($"text", " ").as("ws"))
+        .where(size($"ws") >= 3)
+        .withColumn("sh", expr(
+          "transform(sequence(0, size(ws)-3), i -> concat(ws[i], ' ', ws[i+1], ' ', ws[i+2]))"))
+      val sigs = (0 until 8).map(j =>
+        expr(s"array_min(transform(sh, s -> md5(concat('$j:', s))))").as(s"h$j"))
+      val withSigs = d.select(($"doc_id" +: sigs): _*)
+      withSigs.select($"doc_id",
+        md5(concat($"h0", $"h1")).as("band0"),
+        md5(concat($"h2", $"h3")).as("band1"),
+        md5(concat($"h4", $"h5")).as("band2"),
+        md5(concat($"h6", $"h7")).as("band3"))
+        .orderBy($"doc_id")
+    },
+
+    "dedup_minhash_pairs" -> { (spark, sfDir) =>
+      import spark.implicits._
+      // persist() is a projection-collapse barrier: without it Catalyst
+      // inlines the 8 minhash array-transforms into each stacked band
+      // column and recomputes them 4× (26s → ~1s at sf0.1).
+      val sig = all("dedup_minhash_sig")(spark, sfDir).persist()
+      sig.count()
+      val stacked = sig.selectExpr("doc_id",
+        "stack(4, 0, band0, 1, band1, 2, band2, 3, band3) as (band, bucket)")
+      stacked.groupBy($"band", $"bucket")
+        .agg(count(lit(1)).as("cnt"), min($"doc_id").as("min_doc"), max($"doc_id").as("max_doc"))
+        .where($"cnt" > 1)
+        .orderBy($"band", $"bucket")
+    },
+
+    // SimHash (rows-only: bit-twiddling is not portable DuckDB SQL): 32-bit
+    // fingerprint from md5(word) bits, majority-weighted by tf.
+    "dedup_simhash" -> { (spark, sfDir) =>
+      import spark.implicits._
+      docs(spark, sfDir).select($"doc_id", $"text").as[(Long, String)]
+        .mapPartitions { it =>
+          it.map { case (id, t) =>
+            val counts = t.split(' ').filter(_.nonEmpty)
+              .groupMapReduce(identity)(_ => 1)(_ + _)
+            val votes = new Array[Long](32)
+            counts.foreach { case (w, tf) =>
+              val h = java.lang.Long.parseLong(
+                org.apache.commons.codec.digest.DigestUtils.md5Hex(w).substring(0, 8), 16)
+              var i = 0
+              while (i < 32) {
+                if (((h >> i) & 1L) == 1L) votes(i) += tf else votes(i) -= tf
+                i += 1
+              }
+            }
+            var sim = 0L
+            (0 until 32).foreach(i => if (votes(i) > 0) sim |= (1L << i))
+            (id, sim, sim >>> 16)
+          }
+        }.toDF("doc_id", "simhash", "bucket")
+        .orderBy($"doc_id")
+    },
+
+    "dedup_embedding_cosine" -> { (spark, sfDir) =>
+      import spark.implicits._
+      val e = tbl(spark, sfDir, "embeddings")
+        .select($"vec_id", $"label", expr("transform(embedding, x -> cast(x as double))").as("v"))
+      val a = e.select($"label", $"vec_id".as("a"), $"v".as("va"))
+      val b = e.select($"label", $"vec_id".as("b"), $"v".as("vb"))
+      a.join(b, Seq("label")).where($"a" < $"b")
+        .withColumn("dot", expr("aggregate(zip_with(va, vb, (x, y) -> x*y), cast(0 as double), (s, p) -> s + p)"))
+        .withColumn("na", expr("sqrt(aggregate(transform(va, x -> x*x), cast(0 as double), (s, p) -> s + p))"))
+        .withColumn("nb", expr("sqrt(aggregate(transform(vb, x -> x*x), cast(0 as double), (s, p) -> s + p))"))
+        .withColumn("cos", $"dot" / ($"na" * $"nb"))
+        .where($"cos" >= 0.35)
+        .select($"a", $"b", round($"cos", 4).as("cos_r"))
+        .orderBy($"a", $"b")
+    },
+
+    // --------------------------------------------------------- similarity
+
+    "sim_cosine_topk" -> { (spark, sfDir) =>
+      import spark.implicits._
+      val e = tbl(spark, sfDir, "embeddings")
+        .select($"vec_id", expr("transform(embedding, x -> cast(x as double))").as("v"))
+      val q = e.where($"vec_id" === 0).select($"v".as("qv"))
+      e.where($"vec_id" =!= 0).crossJoin(broadcast(q))
+        .withColumn("dot", expr("aggregate(zip_with(v, qv, (x, y) -> x*y), cast(0 as double), (s, p) -> s + p)"))
+        .withColumn("nv", expr("sqrt(aggregate(transform(v, x -> x*x), cast(0 as double), (s, p) -> s + p))"))
+        .withColumn("nq", expr("sqrt(aggregate(transform(qv, x -> x*x), cast(0 as double), (s, p) -> s + p))"))
+        .withColumn("cos_r", round($"dot" / ($"nv" * $"nq"), 4))
+        .select($"vec_id", $"cos_r")
+        .orderBy($"cos_r".desc, $"vec_id")
+        .limit(20)
+    },
+
+    // IVF-style ANN (rows-only; recall vs brute force asserted in sbt tests):
+    // centroids = first 8 vectors, probe the 2 nearest lists.
+    "sim_ann_ivf" -> { (spark, sfDir) =>
+      import spark.implicits._
+      val e = tbl(spark, sfDir, "embeddings")
+        .select($"vec_id", expr("transform(embedding, x -> cast(x as double))").as("v"))
+      val cents = e.where($"vec_id" < 8).collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+        .sortBy(_._1) // deterministic argmax tie-break
+      val centB = spark.sparkContext.broadcast(cents)
+      def cos(a: Array[Double], b: Array[Double]): Double = {
+        var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+        d / math.sqrt(na * nb)
+      }
+      val assigned = e.as[(Long, Seq[Double])].map { case (id, v) =>
+        val arr = v.toArray
+        val best = centB.value.maxBy { case (_, c) => cos(arr, c) }._1
+        (id, best, arr)
+      }.toDF("vec_id", "cluster", "v")
+      val qv = e.where($"vec_id" === 0).head().getSeq[Double](1).toArray
+      val qvB = spark.sparkContext.broadcast(qv)
+      val probe = cents.sortBy { case (_, c) => -cos(qv, c) }.take(2).map(_._1)
+      assigned.where($"cluster".isin(probe.map(Long.box): _*) && $"vec_id" =!= 0)
+        .as[(Long, Long, Seq[Double])]
+        .map { case (id, _, v) => (id, math.rint(cos(v.toArray, qvB.value) * 10000) / 10000) }
+        .toDF("vec_id", "cos_r")
+        .orderBy($"cos_r".desc, $"vec_id")
+        .limit(10)
+    },
+
+    // ------------------------------------------------------ text analysis
+
+    "textq_quality" -> { (spark, sfDir) =>
+      import spark.implicits._
+      docs(spark, sfDir)
+        .withColumn("ws", split($"text", " "))
+        .select($"doc_id",
+          length($"text").as("n_chars_actual"),
+          size($"ws").as("n_ws"),
+          round(expr("aggregate(transform(ws, w -> length(w)), cast(0 as bigint), (s, x) -> s + x)").cast("double") / size($"ws"), 4).as("mean_wlen"),
+          round(size(expr(s"filter(ws, w -> w IN ($nltkEnSql))")).cast("double") / size($"ws"), 4).as("stop_ratio"),
+          round(size(array_distinct($"ws")).cast("double") / size($"ws"), 4).as("distinct_ratio"))
+        .orderBy($"doc_id")
+    },
+
+    "textq_langid" -> { (spark, sfDir) =>
+      import spark.implicits._
+      val hitCols = langLists.map { case (l, ws) =>
+        size(expr(s"filter(ws, w -> w IN (${inList(ws)}))")).as(s"c_$l")
+      }
+      docs(spark, sfDir)
+        .withColumn("ws", split($"text", " "))
+        .select(($"doc_id" +: $"lang" +: hitCols): _*)
+        .withColumn("predicted", expr(
+          """CASE WHEN c_en = 0 AND c_de = 0 AND c_es = 0 AND c_fr = 0 THEN 'und'
+            |     WHEN c_en >= c_de AND c_en >= c_es AND c_en >= c_fr THEN 'en'
+            |     WHEN c_de >= c_es AND c_de >= c_fr THEN 'de'
+            |     WHEN c_es >= c_fr THEN 'es'
+            |     ELSE 'fr' END""".stripMargin))
+        .groupBy($"lang", $"predicted")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy($"lang", $"predicted")
+    },
+
+    "textq_fingerprint" -> { (spark, sfDir) =>
+      import spark.implicits._
+      docs(spark, sfDir)
+        .withColumn("ws", split($"text", " "))
+        .select($"doc_id", expr(
+          "aggregate(ws, cast(7 as bigint), (acc, w) -> (acc * 131 + length(w) * 31 + ascii(w)) % 1000000007)")
+          .as("fingerprint"))
+        .orderBy($"doc_id")
+    },
+
+    "textq_tokencount_bpe" -> { (spark, sfDir) =>
+      import spark.implicits._
+      docs(spark, sfDir)
+        .select($"doc_id",
+          size(expr("regexp_extract_all(text, '[a-z]+|[0-9]|[^a-z0-9 ]', 0)")).as("n_bpeish"),
+          size(split($"text", " ")).as("n_ws"))
+        .orderBy($"doc_id")
+    },
+
+    // ---------------------------------------------------------- multimodal
+
+    // Opaque-binary plumbing: text → blob payload, batch "decode" stub
+    // (deterministic fake metadata — no codec libs offline), typed batch
+    // processing via mapPartitions (the Scala analogue of mapInPandas).
+    "mm_binary_meta" -> { (spark, sfDir) =>
+      import spark.implicits._
+      docs(spark, sfDir).select($"doc_id", $"text").as[(Long, String)]
+        .mapPartitions { it =>
+          it.map { case (id, t) =>
+            val blob = t.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            val n = blob.length
+            // STUB decode: real image/audio decode requires codec libraries
+            // not present in this container; the schema/batching/partitioning
+            // is the real plumbing, the decode is a deterministic fake.
+            val width = 280 + (n % 360)
+            val height = 160 + (n % 320)
+            val frames = 1 + (n % 16)
+            val sha = org.apache.commons.codec.digest.DigestUtils.sha256Hex(blob)
+            (id, n, width, height, frames, sha)
+          }
+        }.toDF("doc_id", "n_bytes", "width", "height", "frames", "sha")
+        .orderBy($"doc_id")
+    },
+
+    // ---------------------------------------------------------- relational
+
+    "rel_q1_agg" -> { (spark, sfDir) =>
+      import spark.implicits._
+      tbl(spark, sfDir, "lineitem")
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(round(sum($"l_quantity"), 2).as("sum_qty"),
+          round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2).as("revenue"),
+          count(lit(1)).as("n"))
+        .orderBy($"l_returnflag", $"l_linestatus")
+    },
+
+    "rel_join_topn" -> { (spark, sfDir) =>
+      import spark.implicits._
+      val region = tbl(spark, sfDir, "region")
+      val nation = tbl(spark, sfDir, "nation")
+      val customer = tbl(spark, sfDir, "customer")
+      val orders = tbl(spark, sfDir, "orders")
+      val joined = orders
+        .join(customer, orders("o_custkey") === customer("c_custkey"))
+        .join(broadcast(nation), customer("c_nationkey") === nation("n_nationkey"))
+        .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+        .groupBy($"r_name", $"c_custkey")
+        .agg(round(sum($"o_totalprice"), 2).as("total"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"r_name").orderBy($"total".desc, $"c_custkey")
+      joined.withColumn("rk", row_number().over(w))
+        .where($"rk" <= 3)
+        .select($"r_name", $"rk", $"c_custkey", $"total")
+        .orderBy($"r_name", $"rk")
+    },
+
+    "rel_window_running" -> { (spark, sfDir) =>
+      import spark.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"l_suppkey")
+        .orderBy($"l_shipdate", $"l_orderkey", $"l_linenumber")
+      tbl(spark, sfDir, "lineitem")
+        .where($"l_suppkey" < 5)
+        .withColumn("running_qty", round(sum($"l_quantity").over(
+          w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)), 2))
+        .select($"l_suppkey", $"l_orderkey", $"l_linenumber", $"running_qty")
+        .orderBy($"l_suppkey", $"l_shipdate", $"l_orderkey", $"l_linenumber")
+    },
+
+    "evt_window_agg" -> { (spark, sfDir) =>
+      import spark.implicits._
+      tbl(spark, sfDir, "events")
+        .withColumn("bucket", floor(unix_timestamp($"ts") / 300))
+        .withColumn("k", regexp_extract($"props", "([0-9]+)", 1).cast("long"))
+        .groupBy($"bucket", $"event_type")
+        .agg(count(lit(1)).as("n"),
+          round(sum($"value"), 2).as("sum_value"),
+          countDistinct($"user_id").as("users"),
+          round(avg($"k"), 4).as("avg_k"))
+        .orderBy($"bucket", $"event_type")
+        .limit(500)
+    }
+  )
+}

@@ -1,13 +1,26 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  * The catalog lives in Queries.all (Spark plans) / OracleSql.all (DuckDB).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship: build the BM25 index over the sf0.001 documents table (real
+    * tokenizer: normalize → lowercase → UAX#29 → stopwords → Snowball) and
+    * run a block-max-WAND top-k search, contents joined.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Queries.all("ft_search_real")(spark, "/root/testdata/sf0.001")
+
+  /** One entry per implemented operator from SURVEY.md §2 (+ pipeline ops). */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Queries.all
+
+  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
+    * same parquet tables. Omitted for the non-SQL-expressible ops
+    * (ft_search_real — Snowball/f32; dedup_simhash — bit ops; sim_ann_ivf —
+    * centroid state), which the driver checks rows-only and the sbt suite
+    * gates bit-exactly against the reference snapshots.
+    */
+  def oracleSql: Map[String, String] = OracleSql.all
 }

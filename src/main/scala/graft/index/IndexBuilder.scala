@@ -118,9 +118,9 @@ object IndexBuilder {
         }
       }
       fwd.write.mode(SaveMode.Overwrite).partitionBy("shard").parquet(fwdPath)
-      val rows = spark.read.parquet(fwdPath).count()
+      // row count is recorded by the stats stage (single agg over the output)
       Checkpoints.commit(indexDir, "forward", Map(
-        "rows" -> rows, "seconds" -> (System.nanoTime() - t) / 1e9))
+        "seconds" -> (System.nanoTime() - t) / 1e9))
     }
 
     // --- stage 2: corpus stats (N, Σdl, avgdl) ----------------------------
