@@ -1,6 +1,6 @@
 package graft.bm25
 
-import graft.text.{Bm25Tokenizer, FxHash, TextTokenizer}
+import graft.text.{Bm25Tokenizer, TextTokenizer}
 import org.apache.spark.sql.{Dataset, Encoders}
 
 /** One token occurrence embedded in the u32 space: `index` is the FxHash32 of
@@ -29,7 +29,8 @@ final case class Bm25Params(k1: Float = 1.2f, b: Float = 0.75f, avgdl: Float = E
   * binary32 with the reference's operand order (see SURVEY.md Appendix B).
   * As a Spark transform this is a pure row-local map — no shuffle.
   */
-final class Embedder(val params: Bm25Params, val tokenizer: TextTokenizer) extends Serializable {
+final class Embedder(val params: Bm25Params, val tokenizer: TextTokenizer,
+                     val hasher: TokenHasher = TokenHasher.default) extends Serializable {
 
   /** Effective avgdl: non-positive values fall back to 256.0
     * (`embedder.rs:129,144-148`).
@@ -54,11 +55,11 @@ final class Embedder(val params: Bm25Params, val tokenizer: TextTokenizer) exten
     val dl = tokens.length
     val indices = new Array[Long](dl)
     var i = 0
-    while (i < dl) { indices(i) = FxHash.hash32u(tokens(i)); i += 1 }
+    while (i < dl) { indices(i) = hasher.hash(tokens(i)); i += 1 }
     // per-index tf (row-local fold, mirrors the HashMap fold at embedder.rs:150-154)
-    val counts = new java.util.HashMap[Long, Int](dl * 2)
+    val counts = new LongIntMap(dl)
     i = 0
-    while (i < dl) { counts.merge(indices(i), 1, (a, b) => a + b); i += 1 }
+    while (i < dl) { counts.increment(indices(i)); i += 1 }
     val entries = new Array[TokenWeight](dl)
     i = 0
     while (i < dl) {
@@ -76,14 +77,13 @@ final class Embedder(val params: Bm25Params, val tokenizer: TextTokenizer) exten
   def termFrequencies(text: String): (Array[Long], Array[Int], Int) = {
     val tokens = tokenizer.tokenize(text)
     val dl = tokens.length
-    val counts = new java.util.LinkedHashMap[Long, Int](dl * 2)
+    val counts = new LongIntMap(dl)
     var i = 0
-    while (i < dl) { counts.merge(FxHash.hash32u(tokens(i)), 1, (a, b) => a + b); i += 1 }
+    while (i < dl) { counts.increment(hasher.hash(tokens(i))); i += 1 }
     val terms = new Array[Long](counts.size)
     val tfs = new Array[Int](counts.size)
-    val it = counts.entrySet().iterator()
     i = 0
-    while (it.hasNext) { val e = it.next(); terms(i) = e.getKey; tfs(i) = e.getValue; i += 1 }
+    counts.foreachOrdered { (k, v) => terms(i) = k; tfs(i) = v; i += 1 }
     (terms, tfs, dl)
   }
 }
@@ -93,8 +93,9 @@ object Embedder {
   val FallbackAvgdl: Float = 256.0f
 
   def apply(tokenizer: TextTokenizer = Bm25Tokenizer.default,
-            k1: Float = 1.2f, b: Float = 0.75f, avgdl: Float = FallbackAvgdl): Embedder =
-    new Embedder(Bm25Params(k1, b, avgdl), tokenizer)
+            k1: Float = 1.2f, b: Float = 0.75f, avgdl: Float = FallbackAvgdl,
+            hasher: TokenHasher = TokenHasher.default): Embedder =
+    new Embedder(Bm25Params(k1, b, avgdl), tokenizer, hasher)
 
   /** avgdl fit over a distributed corpus — the reference's only
     * parallel-flavored op (`embedder.rs:213-237`): exact integer token-count

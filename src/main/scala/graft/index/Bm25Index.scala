@@ -1,7 +1,7 @@
 package graft.index
 
 import graft.bm25.{Bm25Params, Embedder}
-import graft.text.{Bm25Tokenizer, FxHash, Language, TextTokenizer}
+import graft.text.{Bm25Tokenizer, Language, TextTokenizer}
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -32,7 +32,8 @@ final case class ScoredDoc(doc_id: Long, score: Float)
   */
 final class Bm25Index(spark: SparkSession, val indexDir: String,
                       customTokenizer: Option[TextTokenizer] = None,
-                      k1: Float = 1.2f, b: Float = 0.75f) extends Serializable {
+                      k1: Float = 1.2f, b: Float = 0.75f,
+                      customHasher: Option[graft.bm25.TokenHasher] = None) extends Serializable {
   import spark.implicits._
 
   val manifest: IndexManifest = IndexManifest.read(indexDir)
@@ -45,8 +46,14 @@ final class Bm25Index(spark: SparkSession, val indexDir: String,
       tc.normalization, tc.stopwords, tc.stemming)
   }
 
+  val hasher: graft.bm25.TokenHasher = customHasher.getOrElse {
+    graft.bm25.TokenHasher.fromName(manifest.hasher).getOrElse(
+      throw new IllegalArgumentException(
+        s"index was built with hasher '${manifest.hasher}'; pass it to Bm25Index explicitly"))
+  }
+
   val params: Bm25Params = Bm25Params(k1, b, manifest.avgdl)
-  private val embedder = new Embedder(params, tokenizer)
+  private val embedder = new Embedder(params, tokenizer, hasher)
 
   def nDocs: Long = manifest.nDocs
 
@@ -89,7 +96,7 @@ final class Bm25Index(spark: SparkSession, val indexDir: String,
     * the f32 accumulation order of the reference's score kernel.
     */
   def queryTerms(query: String): Array[Long] =
-    tokenizer.tokenize(query).map(FxHash.hash32u)
+    tokenizer.tokenize(query).map(hasher.hash)
 
   /** Top-k search over the index. Returns (doc_id, score) sorted by
     * (score desc, doc_id asc), limited to `limit` if given — all documents
@@ -136,11 +143,15 @@ final class Bm25Index(spark: SparkSession, val indexDir: String,
       }
   }
 
-  /** Block-max WAND: per partition, candidate blocks are merged doc-at-a-time
-    * per term with a k-sized heap; a doc is fully scored only if the sum of
-    * its terms' block upper bounds can beat the current k-th score. Upper
-    * bounds use nextUp-padded f32 weights, so pruning is conservative
-    * (rank-identical to exhaustive — asserted in Bm25IndexSpec).
+  /** Block-max WAND, document-at-a-time: per shard (doc-range partition),
+    * the query terms' posting blocks form doc-sorted cursors that are merged
+    * doc-at-a-time with a k-sized heap. Before a cursor decodes its next
+    * block, the block's upper bound (idf·weight(max_tf, min_dl), nextUp-
+    * padded) plus the other terms' partition-wide bounds is compared to the
+    * current k-th score: strictly-below blocks are skipped without decoding.
+    * Memory is O(k + blockSize·|terms|) regardless of posting length; the
+    * pruning is conservative, so results are rank- and bit-identical to the
+    * exhaustive scorer (asserted in Bm25IndexSpec).
     */
   private def wandTopK(qOcc: Array[Long], present: Array[Long],
                        idfs: Map[Long, Float], k: Int): Dataset[ScoredDoc] = {
@@ -149,87 +160,127 @@ final class Bm25Index(spark: SparkSession, val indexDir: String,
     val idfB = spark.sparkContext.broadcast(idfs)
     val blocks = spark.read.parquet(s"$indexDir/postings")
       .where($"term".isin(present: _*))
-      .select($"shard", $"term", $"cnt", $"max_tf", $"min_dl", $"docs", $"tfs", $"dls")
-      .as[(Int, Long, Int, Int, Int, Array[Byte], Array[Byte], Array[Byte])]
+      .select($"shard", $"term", $"block", $"cnt", $"max_tf", $"min_dl", $"docs", $"tfs", $"dls")
+      .as[(Int, Long, Int, Int, Int, Int, Array[Byte], Array[Byte], Array[Byte])]
       .repartition($"shard")
-    val partial = blocks.mapPartitions { it =>
+    blocks.mapPartitions { it =>
       val occ = qOccB.value
       val idfMap = idfB.value
       val heap = new java.util.PriorityQueue[ScoredDoc](k + 1,
         (a: ScoredDoc, b: ScoredDoc) =>
           if (a.score != b.score) java.lang.Float.compare(a.score, b.score)
           else java.lang.Long.compare(b.doc_id, a.doc_id)) // min-heap on (score, -doc_id)
-      // Gather this partition's blocks by doc via streaming merge: decode is
-      // gated on the block-max bound vs the current heap threshold.
-      val byTerm = new scala.collection.mutable.HashMap[Long, scala.collection.mutable.ArrayBuffer[(Int, Int, Int, Array[Byte], Array[Byte], Array[Byte])]]()
-      it.foreach { case (_, term, cnt, maxTf, minDl, d, t, l) =>
-        byTerm.getOrElseUpdate(term, scala.collection.mutable.ArrayBuffer.empty) +=
-          ((cnt, maxTf, minDl, d, t, l))
+
+      // (shard, term) → blocks ordered by block index (doc-sorted stream)
+      val byShard = new java.util.HashMap[Int, java.util.HashMap[Long, java.util.ArrayList[(Int, Int, Int, Int, Array[Byte], Array[Byte], Array[Byte])]]]()
+      it.foreach { case (shard, term, block, cnt, maxTf, minDl, d, t, l) =>
+        byShard.computeIfAbsent(shard, _ => new java.util.HashMap())
+          .computeIfAbsent(term, _ => new java.util.ArrayList())
+          .add((block, cnt, maxTf, minDl, d, t, l))
       }
-      if (byTerm.isEmpty) Iterator.empty
-      else {
-        // Per-term upper bound over all its blocks in this partition is not
-        // enough for doc-at-a-time WAND; we keep it block-at-a-time: decode a
-        // term's blocks lazily, accumulate per-doc (term → weight) maps only
-        // for docs that survive the bound check of the blocks they appear in.
-        // Simpler, still safe: process doc-aligned after a bound pre-filter.
-        val termBound = new java.util.HashMap[Long, Float]()
-        byTerm.foreach { case (term, bs) =>
-          var ub = 0.0f
-          bs.foreach { case (_, maxTf, minDl, _, _, _) =>
-            val w = Math.nextUp(emb.weight(maxTf, minDl))
-            if (w > ub) ub = w
-          }
-          termBound.put(term, Math.nextUp(idfMap(term) * ub))
+
+      /** Doc-sorted cursor over one term's block list with block-max skip. */
+      final class Cursor(val term: Long, blocksIn: java.util.ArrayList[(Int, Int, Int, Int, Array[Byte], Array[Byte], Array[Byte])]) {
+        blocksIn.sort((a, b) => Integer.compare(a._1, b._1))
+        val idf: Float = idfMap(term)
+        // partition-wide bound for this term (residual for others' skips)
+        var termBound: Double = 0.0
+        (0 until blocksIn.size).foreach { i =>
+          val (_, _, maxTf, minDl, _, _, _) = blocksIn.get(i)
+          val ub = Math.nextUp(idf * Math.nextUp(emb.weight(maxTf, minDl))).toDouble
+          if (ub > termBound) termBound = ub
         }
-        // Sum of all term bounds = max achievable score in this partition.
-        val values = new java.util.HashMap[Long, java.util.HashMap[Long, Float]]()
-        byTerm.foreach { case (term, bs) =>
-          bs.foreach { case (cnt, maxTf, minDl, d, t, l) =>
-            val blockUb = Math.nextUp(idfMap(term) * Math.nextUp(emb.weight(maxTf, minDl)))
-            val threshold = if (heap.size < k) Float.NegativeInfinity else heap.peek().score
-            // A doc in this block could also score from other terms; only
-            // skip when even the full cross-term bound cannot beat the
-            // threshold. Compute residual = sum of bounds of OTHER terms.
-            var residual = 0.0
-            val itb = termBound.entrySet().iterator()
-            while (itb.hasNext) { val e = itb.next(); if (e.getKey != term) residual += e.getValue.toDouble }
-            // decode on ≥: skipping on equality could leave a doc with a
-            // truncated partial score exactly at the final threshold
-            if (heap.size < k || blockUb + residual >= threshold.toDouble) {
-              val docs = PostingCodec.decodeDeltas(d, cnt)
-              val tfs = PostingCodec.decodeInts(t, cnt)
-              val dls = PostingCodec.decodeInts(l, cnt)
-              var i = 0
-              while (i < cnt) {
-                values.computeIfAbsent(docs(i), _ => new java.util.HashMap[Long, Float](8))
-                  .putIfAbsent(term, emb.weight(tfs(i), dls(i)))
-                i += 1
-              }
+        private var bi = 0
+        private var pos = 0
+        private var docs: Array[Long] = null
+        private var tfs: Array[Int] = null
+        private var dls: Array[Int] = null
+        private var n = 0
+        var residual: Double = 0.0 // set once all cursors exist
+
+        /** bound of the CURRENT block (idf·weight(max_tf,min_dl), padded) */
+        private def blockBound(i: Int): Double = {
+          val (_, _, maxTf, minDl, _, _, _) = blocksIn.get(i)
+          Math.nextUp(idf * Math.nextUp(emb.weight(maxTf, minDl))).toDouble
+        }
+
+        /** Advance to the next undecoded block, skipping blocks whose docs
+          * provably cannot reach the threshold (strict <).
+          */
+        def loadNext(threshold: Double): Unit = {
+          docs = null
+          while (bi < blocksIn.size && docs == null) {
+            if (threshold != Double.NegativeInfinity &&
+                blockBound(bi) + residual < threshold) { bi += 1 } // skip whole block
+            else {
+              val (_, cnt, _, _, d, t, l) = blocksIn.get(bi)
+              docs = PostingCodec.decodeDeltas(d, cnt)
+              tfs = PostingCodec.decodeInts(t, cnt)
+              dls = PostingCodec.decodeInts(l, cnt)
+              n = cnt; pos = 0; bi += 1
             }
           }
         }
-        val itd = values.entrySet().iterator()
-        while (itd.hasNext) {
-          val e = itd.next()
-          val v = e.getValue
-          var score = 0.0f
-          var i = 0
-          while (i < occ.length) {
-            val w = v.get(occ(i))
-            if (w != 0.0f) score += idfMap(occ(i)) * w
-            i += 1
-          }
-          heap.add(ScoredDoc(e.getKey, score))
-          if (heap.size > k) heap.poll()
+        def exhausted: Boolean = docs == null && bi >= blocksIn.size
+        def currentDoc: Long = docs(pos)
+        def hasCurrent: Boolean = docs != null && pos < n
+        def currentWeight: Float = emb.weight(tfs(pos), dls(pos))
+        def advance(threshold: Double): Unit = {
+          pos += 1
+          if (pos >= n) { docs = null; loadNext(threshold) }
         }
-        val out = new Array[ScoredDoc](heap.size)
-        var i = out.length - 1
-        while (heap.size > 0) { out(i) = heap.poll(); i -= 1 }
-        out.iterator
       }
+
+      val out = scala.collection.mutable.ArrayBuffer.empty[ScoredDoc]
+      val shards = byShard.entrySet().iterator()
+      while (shards.hasNext) {
+        val terms = shards.next().getValue
+        val cursors = new java.util.ArrayList[Cursor]()
+        terms.forEach((term, bs) => cursors.add(new Cursor(term, bs)): Unit)
+        var total = 0.0
+        (0 until cursors.size).foreach(i => total += cursors.get(i).termBound)
+        (0 until cursors.size).foreach { i =>
+          val c = cursors.get(i); c.residual = total - c.termBound
+        }
+        def threshold: Double =
+          if (heap.size < k) Double.NegativeInfinity else heap.peek().score.toDouble
+        cursors.forEach(c => c.loadNext(threshold))
+        // doc-at-a-time merge
+        val weights = new java.util.HashMap[Long, Float](cursors.size * 2)
+        var done = false
+        while (!done) {
+          var minDoc = Long.MaxValue
+          cursors.forEach { c => if (c.hasCurrent && c.currentDoc < minDoc) minDoc = c.currentDoc }
+          if (minDoc == Long.MaxValue) done = true
+          else {
+            weights.clear()
+            val thr = threshold
+            cursors.forEach { c =>
+              if (c.hasCurrent && c.currentDoc == minDoc) {
+                weights.put(c.term, c.currentWeight)
+                c.advance(thr)
+              }
+            }
+            // f32 fold in query-occurrence order (scorer.rs:109-123)
+            var score = 0.0f
+            var i = 0
+            while (i < occ.length) {
+              val v = weights.get(occ(i))
+              if (v != 0.0f) score += idfMap(occ(i)) * v
+              i += 1
+            }
+            heap.add(ScoredDoc(minDoc, score))
+            if (heap.size > k) heap.poll(): Unit
+          }
+        }
+        // heap carries over across shards within the partition (tighter
+        // threshold); emitted once at the end
+      }
+      val arr = new Array[ScoredDoc](heap.size)
+      var i = arr.length - 1
+      while (heap.size > 0) { arr(i) = heap.poll(); i -= 1 }
+      arr.iterator
     }
-    partial
   }
 
   /** Point score of one document vs a query (the reference's

@@ -33,7 +33,10 @@ final case class IndexBuildConfig(
     blockSize: Int = 128,
     termBuckets: Int = 64,
     shardGroups: Int = 4, // checkpoint granularity for the postings stage
-    saltBuckets: Int = 16 // two-phase (salted) df aggregation fan-out
+    saltBuckets: Int = 16, // two-phase (salted) df aggregation fan-out
+    // doc ids that are hash surrogates are uniform in [0, Long.MaxValue]:
+    // range bounds are then analytic (no quantile job over the corpus)
+    uniformIdSpace: Boolean = false
 )
 
 /** Distributed index build (SURVEY §7.4, north_star pipeline):
@@ -74,7 +77,8 @@ object IndexBuilder {
   def build(spark: SparkSession, docs: Dataset[CorpusDoc], tokenizer: TextTokenizer,
             indexDir: String, cfg: IndexBuildConfig = IndexBuildConfig(),
             lineage: Map[String, String] = Map.empty,
-            avgdlOverride: Option[Float] = None): IndexManifest = {
+            avgdlOverride: Option[Float] = None,
+            hasher: graft.bm25.TokenHasher = graft.bm25.TokenHasher.default): IndexManifest = {
     import spark.implicits._
     val t0 = System.nanoTime()
 
@@ -88,10 +92,13 @@ object IndexBuilder {
         val b = n.get("bounds").asText()
         if (b.isEmpty) Array.empty[Long] else b.split(",").map(_.toLong)
       } else {
-        val probs = (1 until cfg.numShards).map(_.toDouble / cfg.numShards).toArray
         val bs =
-          if (probs.isEmpty) Array.empty[Long]
-          else docs.toDF().stat.approxQuantile("doc_id", probs, 0.001).map(_.toLong)
+          if (cfg.numShards <= 1) Array.empty[Long]
+          else if (cfg.uniformIdSpace)
+            Array.tabulate(cfg.numShards - 1)(i => (Long.MaxValue / cfg.numShards) * (i + 1))
+          else docs.toDF().stat
+            .approxQuantile("doc_id", (1 until cfg.numShards).map(_.toDouble / cfg.numShards).toArray, 0.001)
+            .map(_.toLong)
         Checkpoints.commit(indexDir, "bounds",
           Map("bounds" -> bs.mkString(","), "numShards" -> cfg.numShards))
         bs
@@ -110,14 +117,19 @@ object IndexBuilder {
     // --- stage 1: forward index ------------------------------------------
     if (!Checkpoints.isDone(indexDir, "forward")) {
       val t = System.nanoTime()
-      val emb = new Embedder(graft.bm25.Bm25Params(), tokenizer) // tf/dl only; params unused
+      val emb = new Embedder(graft.bm25.Bm25Params(), tokenizer, hasher) // tf/dl only; params unused
       val fwd = docs.mapPartitions { it =>
         it.map { d =>
           val (terms, tfs, dl) = emb.termFrequencies(d.content)
           ForwardRow(d.doc_id, shardOf(d.doc_id), dl, terms, tfs)
         }
       }
-      fwd.write.mode(SaveMode.Overwrite).partitionBy("shard").parquet(fwdPath)
+      // Written in input partitioning: the forward build is a pure narrow
+      // map (tokenize+hash+tf), NO shuffle — the postings stage re-shuffles
+      // by shard anyway, and shard/doc_id remain ordinary columns for
+      // stats-based pruning. (An earlier repartition+partitionBy layout
+      // serialized this stage on shuffle + small-file IO.)
+      fwd.write.mode(SaveMode.Overwrite).parquet(fwdPath)
       // row count is recorded by the stats stage (single agg over the output)
       Checkpoints.commit(indexDir, "forward", Map(
         "seconds" -> (System.nanoTime() - t) / 1e9))
@@ -147,25 +159,31 @@ object IndexBuilder {
       if (!Checkpoints.isDone(indexDir, name)) {
         val t = System.nanoTime()
         val shardsInGroup = (0 until cfg.numShards).filter(_ % groups == g)
-        val fwd = spark.read.parquet(fwdPath)
+        // Columnar end-to-end: explode via Catalyst's generate (whole-stage
+        // codegen, no per-posting JVM objects), shuffle+sort on UnsafeRows,
+        // and encode straight off InternalRow — an earlier typed-Dataset
+        // version allocated a Tuple5 per posting on both shuffle sides
+        // (287M objects at the 1M-doc bench) and was GC-bound.
+        val exploded = spark.read.parquet(fwdPath)
           .where($"shard".isin(shardsInGroup: _*))
-          .as[ForwardRow]
-        val exploded = fwd.flatMap { r =>
-          val out = new Array[(Int, Long, Long, Int, Int)](r.terms.length)
-          var i = 0
-          while (i < r.terms.length) { out(i) = (r.shard, r.terms(i), r.doc_id, r.tfs(i), r.dl); i += 1 }
-          out
-        }.toDF("shard", "term", "doc_id", "tf", "dl")
-        val blocks = exploded
-          .repartition(math.max(shardsInGroup.size, 1), $"shard")
+          .select($"shard", $"doc_id", $"dl", explode(arrays_zip($"terms", $"tfs")).as("te"))
+          .select($"shard", $"te.terms".as("term"), $"doc_id", $"te.tfs".as("tf"), $"dl")
+        // Partition by (shard, term): a term's postings within a shard stay
+        // in one task (whole blocks), while the task count scales with the
+        // cluster instead of the shard count — numShards stops being a
+        // parallelism ceiling.
+        val numPostingTasks = math.max(spark.sparkContext.defaultParallelism * 2,
+          math.max(shardsInGroup.size, 1))
+        val sorted = exploded
+          .repartition(numPostingTasks, $"shard", $"term")
           .sortWithinPartitions($"shard", $"term", $"doc_id")
-          .as[(Int, Long, Long, Int, Int)]
-          .mapPartitions(encodeBlocks(_, blockSize))
-        blocks.write
-          .mode(SaveMode.Overwrite)
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("shard")
-          .parquet(postingsPath)
+        val blockRdd = sorted.queryExecution.toRdd
+          .mapPartitions(encodeBlocksInternal(_, blockSize))
+        val blocks = spark.createDataset(blockRdd)
+        // each group owns its subdirectory (hive-style `group=N`, so readers
+        // of the root discover it as a partition column): group overwrite is
+        // a plain directory replace, and each task writes exactly one file
+        blocks.write.mode(SaveMode.Overwrite).parquet(s"$postingsPath/group=$g")
         Checkpoints.commit(indexDir, name, Map(
           "shards" -> shardsInGroup.mkString(","),
           "seconds" -> (System.nanoTime() - t) / 1e9))
@@ -185,7 +203,7 @@ object IndexBuilder {
         .withColumn("bucket", pmod($"term", lit(cfg.termBuckets)).cast("int"))
       df.repartition(cfg.termBuckets, $"bucket")
         .sortWithinPartitions($"bucket", $"term")
-        .write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(termstatsPath)
+        .write.mode(SaveMode.Overwrite).parquet(termstatsPath)
       Checkpoints.commit(indexDir, "termstats",
         Map("seconds" -> (System.nanoTime() - t) / 1e9))
     }
@@ -205,6 +223,7 @@ object IndexBuilder {
       blockSize = cfg.blockSize,
       termBuckets = cfg.termBuckets,
       tokenizer = tokenizerConfig(tokenizer),
+      hasher = hasher.name,
       nDocs = nDocs,
       sumDl = sumDl,
       avgdl = avgdl,
@@ -227,24 +246,39 @@ object IndexBuilder {
     manifest
   }
 
-  /** Streaming block encoder over rows sorted by (shard, term, doc_id):
-    * groups consecutive runs, emits ≤blockSize-entry compressed blocks.
-    * Memory is O(blockSize) regardless of posting-list length.
+  /** Streaming block encoder over InternalRows sorted by
+    * (shard, term, doc_id) with schema (shard Int, term Long, doc_id Long,
+    * tf Int, dl Int): groups consecutive runs, emits ≤blockSize-entry
+    * compressed blocks. Memory is O(blockSize) regardless of posting-list
+    * length; zero per-posting allocation (rows are reused UnsafeRows —
+    * primitives are extracted immediately, no row references retained).
     */
-  private def encodeBlocks(it: Iterator[(Int, Long, Long, Int, Int)],
-                           blockSize: Int): Iterator[PostingBlock] =
+  private def encodeBlocksInternal(it: Iterator[org.apache.spark.sql.catalyst.InternalRow],
+                                   blockSize: Int): Iterator[PostingBlock] =
     new Iterator[PostingBlock] {
-      private val buf = it.buffered
       private var curShard = -1
       private var curTerm = 0L
       private var blockNo = 0
+      // one-row lookahead (primitives only — the row object is reused)
+      private var hasPending = false
+      private var pShard = 0; private var pTerm = 0L; private var pDoc = 0L
+      private var pTf = 0; private var pDl = 0
 
-      def hasNext: Boolean = buf.hasNext
+      private def fetch(): Unit = {
+        if (it.hasNext) {
+          val r = it.next()
+          pShard = r.getInt(0); pTerm = r.getLong(1); pDoc = r.getLong(2)
+          pTf = r.getInt(3); pDl = r.getInt(4)
+          hasPending = true
+        } else hasPending = false
+      }
+      fetch()
+
+      def hasNext: Boolean = hasPending
 
       def next(): PostingBlock = {
-        val head = buf.head
-        if (head._1 != curShard || head._2 != curTerm) {
-          curShard = head._1; curTerm = head._2; blockNo = 0
+        if (pShard != curShard || pTerm != curTerm) {
+          curShard = pShard; curTerm = pTerm; blockNo = 0
         }
         val docs = new Array[Long](blockSize)
         val tfs = new Array[Int](blockSize)
@@ -252,13 +286,12 @@ object IndexBuilder {
         var n = 0
         var maxTf = 0
         var minDl = Int.MaxValue
-        while (n < blockSize && buf.hasNext &&
-               buf.head._1 == curShard && buf.head._2 == curTerm) {
-          val (_, _, docId, tf, dl) = buf.next()
-          docs(n) = docId; tfs(n) = tf; dls(n) = dl
-          if (tf > maxTf) maxTf = tf
-          if (dl < minDl) minDl = dl
+        while (n < blockSize && hasPending && pShard == curShard && pTerm == curTerm) {
+          docs(n) = pDoc; tfs(n) = pTf; dls(n) = pDl
+          if (pTf > maxTf) maxTf = pTf
+          if (pDl < minDl) minDl = pDl
           n += 1
+          fetch()
         }
         val b = PostingBlock(curShard, curTerm, blockNo, n, maxTf, minDl,
           PostingCodec.encodeDeltas(java.util.Arrays.copyOf(docs, n)),

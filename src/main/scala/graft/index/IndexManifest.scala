@@ -23,6 +23,7 @@ final case class IndexManifest(
     blockSize: Int,
     termBuckets: Int,
     tokenizer: TokenizerConfig,
+    hasher: String, // token-embedding space: fx32 (crate default) | fx64 | custom
     nDocs: Long,
     sumDl: Long,
     avgdl: Float,
@@ -60,6 +61,7 @@ object IndexManifest {
     tok.put("normalization", m.tokenizer.normalization)
     tok.put("stopwords", m.tokenizer.stopwords)
     tok.put("stemming", m.tokenizer.stemming)
+    root.put("hasher", m.hasher)
     root.put("nDocs", m.nDocs)
     root.put("sumDl", m.sumDl)
     root.put("avgdl", m.avgdl)
@@ -89,6 +91,7 @@ object IndexManifest {
         n.get("tokenizer").get("normalization").asBoolean(),
         n.get("tokenizer").get("stopwords").asBoolean(),
         n.get("tokenizer").get("stemming").asBoolean()),
+      hasher = if (n.has("hasher")) n.get("hasher").asText() else "fx32",
       nDocs = n.get("nDocs").asLong(),
       sumDl = n.get("sumDl").asLong(),
       avgdl = n.get("avgdl").floatValue(),

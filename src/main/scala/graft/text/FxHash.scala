@@ -30,8 +30,27 @@ object FxHash {
   @inline private def step64(h: Long, word: Long): Long =
     (java.lang.Long.rotateLeft(h, 5) ^ word) * Seed64
 
-  /** fxhash::hash32 of a string's UTF-8 bytes (+ Rust str-Hash 0xff suffix). */
-  def hash32(s: String): Int = hash32Bytes(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  /** fxhash::hash32 of a string's UTF-8 bytes (+ Rust str-Hash 0xff suffix).
+    * ASCII fast path hashes the chars directly (UTF-8 == char values) with
+    * no byte[] allocation — the hot loop of index builds.
+    */
+  def hash32(s: String): Int = {
+    val n = s.length
+    var i = 0
+    while (i < n) {
+      if (s.charAt(i) >= 0x80) return hash32Bytes(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      i += 1
+    }
+    var h = 0
+    i = 0
+    while (i + 4 <= n) {
+      val w = s.charAt(i) | (s.charAt(i + 1) << 8) | (s.charAt(i + 2) << 16) | (s.charAt(i + 3) << 24)
+      h = step32(h, w)
+      i += 4
+    }
+    while (i < n) { h = step32(h, s.charAt(i)); i += 1 }
+    step32(h, 0xff)
+  }
 
   def hash32Bytes(b: Array[Byte]): Int = {
     var h = 0

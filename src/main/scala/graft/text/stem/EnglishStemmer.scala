@@ -190,47 +190,54 @@ object EnglishStemmer extends Stemmer {
     } else false
   }
 
+  /** Direct suffix compare (lastIndexOf scans the whole builder on a miss —
+    * measurable in the index build's hot loop).
+    */
+  @inline private def endsWith(sb: StringBuilder, s: String): Boolean = {
+    val off = sb.length - s.length
+    if (off < 0) return false
+    var k = 0
+    while (k < s.length) {
+      if (sb.charAt(off + k) != s.charAt(k)) return false
+      k += 1
+    }
+    true
+  }
+
   private def step2(sb: StringBuilder, p1: Int): Unit = {
-    def ends(s: String) = sb.length >= s.length && sb.lastIndexOf(s) == sb.length - s.length
+    def ends(s: String) = endsWith(sb, s)
     def inR1(n: Int) = sb.length - n >= p1
     def repl(n: Int, r: String): Unit = { sb.setLength(sb.length - n); sb.append(r) }
-    // longest-match order
-    val rules: List[(String, () => Unit)] = List(
-      "ization" -> (() => if (inR1(7)) repl(7, "ize")),
-      "ational" -> (() => if (inR1(7)) repl(7, "ate")),
-      "fulness" -> (() => if (inR1(7)) repl(7, "ful")),
-      "ousness" -> (() => if (inR1(7)) repl(7, "ous")),
-      "iveness" -> (() => if (inR1(7)) repl(7, "ive")),
-      "tional"  -> (() => if (inR1(6)) repl(6, "tion")),
-      "biliti"  -> (() => if (inR1(6)) repl(6, "ble")),
-      "lessli"  -> (() => if (inR1(6)) repl(6, "less")),
-      "entli"   -> (() => if (inR1(5)) repl(5, "ent")),
-      "ation"   -> (() => if (inR1(5)) repl(5, "ate")),
-      "alism"   -> (() => if (inR1(5)) repl(5, "al")),
-      "aliti"   -> (() => if (inR1(5)) repl(5, "al")),
-      "ousli"   -> (() => if (inR1(5)) repl(5, "ous")),
-      "iviti"   -> (() => if (inR1(5)) repl(5, "ive")),
-      "fulli"   -> (() => if (inR1(5)) repl(5, "ful")),
-      "enci"    -> (() => if (inR1(4)) repl(4, "ence")),
-      "anci"    -> (() => if (inR1(4)) repl(4, "ance")),
-      "abli"    -> (() => if (inR1(4)) repl(4, "able")),
-      "izer"    -> (() => if (inR1(4)) repl(4, "ize")),
-      "ator"    -> (() => if (inR1(4)) repl(4, "ate")),
-      "alli"    -> (() => if (inR1(4)) repl(4, "al")),
-      "ogi"     -> (() => if (inR1(3) && sb.length >= 4 && sb.charAt(sb.length - 4) == 'l') repl(3, "og")),
-      "bli"     -> (() => if (inR1(3)) repl(3, "ble")),
-      "li"      -> (() => if (inR1(2) && sb.length >= 3 && validLiEnding(sb.charAt(sb.length - 3))) sb.setLength(sb.length - 2))
-    )
-    val it = rules.iterator
-    var fired = false
-    while (it.hasNext && !fired) {
-      val (s, action) = it.next()
-      if (ends(s)) { action(); fired = true }
-    }
+    // longest-match among; the first matching suffix fires (or does nothing
+    // if its R1 condition fails — no fallback to shorter suffixes)
+    if (ends("ization")) { if (inR1(7)) repl(7, "ize") }
+    else if (ends("ational")) { if (inR1(7)) repl(7, "ate") }
+    else if (ends("fulness")) { if (inR1(7)) repl(7, "ful") }
+    else if (ends("ousness")) { if (inR1(7)) repl(7, "ous") }
+    else if (ends("iveness")) { if (inR1(7)) repl(7, "ive") }
+    else if (ends("tional")) { if (inR1(6)) repl(6, "tion") }
+    else if (ends("biliti")) { if (inR1(6)) repl(6, "ble") }
+    else if (ends("lessli")) { if (inR1(6)) repl(6, "less") }
+    else if (ends("entli")) { if (inR1(5)) repl(5, "ent") }
+    else if (ends("ation")) { if (inR1(5)) repl(5, "ate") }
+    else if (ends("alism")) { if (inR1(5)) repl(5, "al") }
+    else if (ends("aliti")) { if (inR1(5)) repl(5, "al") }
+    else if (ends("ousli")) { if (inR1(5)) repl(5, "ous") }
+    else if (ends("iviti")) { if (inR1(5)) repl(5, "ive") }
+    else if (ends("fulli")) { if (inR1(5)) repl(5, "ful") }
+    else if (ends("enci")) { if (inR1(4)) repl(4, "ence") }
+    else if (ends("anci")) { if (inR1(4)) repl(4, "ance") }
+    else if (ends("abli")) { if (inR1(4)) repl(4, "able") }
+    else if (ends("izer")) { if (inR1(4)) repl(4, "ize") }
+    else if (ends("ator")) { if (inR1(4)) repl(4, "ate") }
+    else if (ends("alli")) { if (inR1(4)) repl(4, "al") }
+    else if (ends("ogi")) { if (inR1(3) && sb.length >= 4 && sb.charAt(sb.length - 4) == 'l') repl(3, "og") }
+    else if (ends("bli")) { if (inR1(3)) repl(3, "ble") }
+    else if (ends("li")) { if (inR1(2) && sb.length >= 3 && validLiEnding(sb.charAt(sb.length - 3))) sb.setLength(sb.length - 2) }
   }
 
   private def step3(sb: StringBuilder, p1: Int, p2: Int): Unit = {
-    def ends(s: String) = sb.length >= s.length && sb.lastIndexOf(s) == sb.length - s.length
+    def ends(s: String) = endsWith(sb, s)
     def inR1(n: Int) = sb.length - n >= p1
     def inR2(n: Int) = sb.length - n >= p2
     def repl(n: Int, r: String): Unit = { sb.setLength(sb.length - n); sb.append(r) }
@@ -245,7 +252,7 @@ object EnglishStemmer extends Stemmer {
   }
 
   private def step4(sb: StringBuilder, p2: Int): Unit = {
-    def ends(s: String) = sb.length >= s.length && sb.lastIndexOf(s) == sb.length - s.length
+    def ends(s: String) = endsWith(sb, s)
     def inR2(n: Int) = sb.length - n >= p2
     // longest-match among; note 'ement' > 'ment' > 'ent' ordering.
     val plain = List("ement", "ance", "ence", "able", "ible", "ment",

@@ -40,12 +40,12 @@ class IndexResumeSpec extends SparkTestBase {
     Files.delete(Paths.get(crashed, "_checkpoints", "postings_g2.json"))
     Files.delete(Paths.get(crashed, "_checkpoints", "postings_g3.json"))
     Files.delete(Paths.get(crashed, "_checkpoints", "termstats.json"))
-    // remove the shard dirs those groups produced (g2 → shards 2, g3 → 3)
+    // remove the group dirs those checkpoints covered
     def rm(f: java.io.File): Unit = {
       if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
     }
-    rm(new java.io.File(s"$crashed/postings/shard=2"))
-    rm(new java.io.File(s"$crashed/postings/shard=3"))
+    rm(new java.io.File(s"$crashed/postings/group=2"))
+    rm(new java.io.File(s"$crashed/postings/group=3"))
     rm(new java.io.File(s"$crashed/termstats"))
 
     // Resume: must skip forward/stats/g0/g1 and redo the rest.
