@@ -34,6 +34,7 @@ final case class IndexBuildConfig(
     termBuckets: Int = 64,
     shardGroups: Int = 4, // checkpoint granularity for the postings stage
     saltBuckets: Int = 16, // two-phase (salted) df aggregation fan-out
+    postingTasks: Int = 0, // shuffle tasks for the postings stage (0 = 3x parallelism)
     // doc ids that are hash surrogates are uniform in [0, Long.MaxValue]:
     // range bounds are then analytic (no quantile job over the corpus)
     uniformIdSpace: Boolean = false
@@ -172,8 +173,9 @@ object IndexBuilder {
         // in one task (whole blocks), while the task count scales with the
         // cluster instead of the shard count — numShards stops being a
         // parallelism ceiling.
-        val numPostingTasks = math.max(spark.sparkContext.defaultParallelism * 2,
-          math.max(shardsInGroup.size, 1))
+        val numPostingTasks =
+          if (cfg.postingTasks > 0) cfg.postingTasks
+          else math.max(spark.sparkContext.defaultParallelism * 3, math.max(shardsInGroup.size, 1))
         val sorted = exploded
           .repartition(numPostingTasks, $"shard", $"term")
           .sortWithinPartitions($"shard", $"term", $"doc_id")

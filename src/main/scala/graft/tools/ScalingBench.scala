@@ -29,7 +29,7 @@ object ScalingBench {
       // local-scale split sizing: the corpora here are ~100 MB, so the
       // default 128 MB split would serialize the scan+tokenize stage on one
       // task regardless of cores (at production scale the default is right)
-      .config("spark.sql.files.maxPartitionBytes", "8m")
+      .config("spark.sql.files.maxPartitionBytes", "4m")
       .config("spark.sql.files.openCostInBytes", "1m")
       .config("spark.ui.enabled", "false")
       .appName("bm25spark-scaling")
@@ -59,7 +59,7 @@ object ScalingBench {
       // numShards is fixed (not a function of parallelism) so the N and 4N
       // runs execute the identical job over identical data.
       val manifest = IndexBuilder.build(spark, docs, Bm25Tokenizer.default, indexDir,
-        IndexBuildConfig(numShards = 64, shardGroups = 1, termBuckets = 64, uniformIdSpace = true),
+        IndexBuildConfig(numShards = 64, shardGroups = 1, termBuckets = 64, uniformIdSpace = true, postingTasks = 96),
         Map("input" -> corpusPath, "n" -> n.toString))
       val buildSec = (System.nanoTime() - t0) / 1e9
 

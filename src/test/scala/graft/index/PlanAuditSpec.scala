@@ -1,0 +1,64 @@
+package graft.index
+
+import graft.SparkTestBase
+import graft.text.Bm25Tokenizer
+
+/** Physical-plan audit (the "explain until it's the plan you want" gate):
+  * scans must push filters and prune columns, the top-k must be a
+  * TakeOrderedAndProject (no full sort), and the contents join must
+  * broadcast the tiny side.
+  */
+class PlanAuditSpec extends SparkTestBase {
+  import spark.implicits._
+
+  lazy val indexDir: String = {
+    val dir = tmpDir("audit_idx")
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .selectExpr("doc_id", "text as content").as[CorpusDoc]
+    IndexBuilder.build(spark, docs, Bm25Tokenizer.default, dir,
+      IndexBuildConfig(numShards = 4, shardGroups = 1))
+    dir
+  }
+  lazy val index = new Bm25Index(spark, indexDir)
+
+  test("postings scan pushes the term filter into parquet and prunes columns") {
+    val terms = index.queryTerms("merge join").distinct
+    val plan = index.postingsFor(terms).queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [In(term"), s"no term pushdown:\n$plan")
+    // column pruning: the scan must not read block-max metadata it doesn't need
+    assert(plan.contains("ReadSchema") && !plan.contains("max_tf"),
+      s"block metadata read by the decode path:\n$plan")
+  }
+
+  test("termstats lookup pushes bucket+term filters") {
+    val terms = index.queryTerms("merge").distinct
+    val df = spark.read.parquet(s"$indexDir/termstats")
+      .where($"bucket".isin(terms.map(index.manifest.bucketOf).distinct.map(Int.box): _*) &&
+        $"term".isin(terms.map(Long.box): _*))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: ["), s"no pushdown:\n$plan")
+    assert(plan.contains("In(term") || plan.contains("EqualTo(term"), s"term not pushed:\n$plan")
+  }
+
+  test("top-k search plans as TakeOrderedAndProject (no global sort)") {
+    val plan = index.search("merge join sort", Some(10), "exhaustive")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"expected top-k operator:\n$plan")
+    assert(!plan.contains("\nSort "), s"unexpected full sort:\n$plan")
+  }
+
+  test("contents join broadcasts the top-k side") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val out = Bm25Index.searchWithContents(index, docs, "doc_id", "text", "merge join", Some(5))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
+  }
+
+  test("corpus scan for tokenization prunes to the needed columns") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .selectExpr("doc_id", "text")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"expected pruned read schema:\n$plan")
+  }
+}
