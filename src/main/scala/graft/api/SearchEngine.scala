@@ -232,19 +232,28 @@ final class SearchEngine private[api] (
     } finally cands.unpersist()
   }
 
-  /** Distributed compaction: folds all pending deltas into a fresh base
-    * index (built via the checkpointed distributed builder) and swaps it in.
+  /** Distributed compaction: with an existing base, folds pending deltas in
+    * via the multi-way posting merge (Compactor — base blocks are decoded
+    * and merged, never re-tokenized); without one, batch-builds from the
+    * live docs. Physical-only either way: the frozen avgdl carries through,
+    * so scores do not move.
     */
   def compact(cfg: IndexBuildConfig = IndexBuildConfig(numShards = 4, shardGroups = 2)): Unit = {
-    val frozenAvgdl = avgdl // compaction is physical: scores must not move
+    val frozenAvgdl = avgdl
     val sealSeq = nextSeq - 1
     val tmp = s"$dir/index_compacting"
     deleteRecursively(new java.io.File(tmp))
-    val corpus = liveDocs.mapPartitions { it =>
-      it.map(d => CorpusDoc(FxHash.hash64(d.id) & Long.MaxValue, d.contents))
+    if (baseExists) {
+      val (deltaLive, superseded) = deltaState()
+      val deltaCorpus = deltaLive.toSeq.map { case (id, c) => CorpusDoc(id, c) }.toDS()
+      Compactor.merge(spark, indexPath, tmp, deltaCorpus, superseded, tokenizer, cfg)
+    } else {
+      val corpus = liveDocs.mapPartitions { it =>
+        it.map(d => CorpusDoc(FxHash.hash64(d.id) & Long.MaxValue, d.contents))
+      }
+      IndexBuilder.build(spark, corpus, tokenizer, tmp, cfg,
+        Map("source" -> logPath), Some(frozenAvgdl))
     }
-    IndexBuilder.build(spark, corpus, tokenizer, tmp, cfg,
-      Map("source" -> logPath), Some(frozenAvgdl))
     val old = new java.io.File(indexPath)
     if (old.exists()) {
       val bak = new java.io.File(s"$dir/index_old")

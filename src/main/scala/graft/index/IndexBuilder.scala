@@ -173,19 +173,11 @@ object IndexBuilder {
         // in one task (whole blocks), while the task count scales with the
         // cluster instead of the shard count — numShards stops being a
         // parallelism ceiling.
-        val numPostingTasks =
-          if (cfg.postingTasks > 0) cfg.postingTasks
-          else math.max(spark.sparkContext.defaultParallelism * 3, math.max(shardsInGroup.size, 1))
-        val sorted = exploded
-          .repartition(numPostingTasks, $"shard", $"term")
-          .sortWithinPartitions($"shard", $"term", $"doc_id")
-        val blockRdd = sorted.queryExecution.toRdd
-          .mapPartitions(encodeBlocksInternal(_, blockSize))
-        val blocks = spark.createDataset(blockRdd)
         // each group owns its subdirectory (hive-style `group=N`, so readers
         // of the root discover it as a partition column): group overwrite is
         // a plain directory replace, and each task writes exactly one file
-        blocks.write.mode(SaveMode.Overwrite).parquet(s"$postingsPath/group=$g")
+        encodePostingRows(spark, exploded, s"$postingsPath/group=$g", cfg,
+          math.max(shardsInGroup.size, 1))
         Checkpoints.commit(indexDir, name, Map(
           "shards" -> shardsInGroup.mkString(","),
           "seconds" -> (System.nanoTime() - t) / 1e9))
@@ -195,30 +187,14 @@ object IndexBuilder {
     // --- stage 4: term stats (df) via salted two-phase aggregation --------
     if (!Checkpoints.isDone(indexDir, "termstats")) {
       val t = System.nanoTime()
-      val blocksDf = spark.read.parquet(postingsPath)
-      // salt on block id: partial sums per (term, salt), then final merge —
-      // bounds any single reducer's load for pathologically hot terms.
-      val partial = blocksDf
-        .groupBy($"term", pmod($"block", lit(cfg.saltBuckets)).as("salt"))
-        .agg(sum($"cnt").as("c"))
-      val df = partial.groupBy($"term").agg(sum($"c").as("df"))
-        .withColumn("bucket", pmod($"term", lit(cfg.termBuckets)).cast("int"))
-      df.repartition(cfg.termBuckets, $"bucket")
-        .sortWithinPartitions($"bucket", $"term")
-        .write.mode(SaveMode.Overwrite).parquet(termstatsPath)
+      buildTermstats(spark, postingsPath, termstatsPath, cfg)
       Checkpoints.commit(indexDir, "termstats",
         Map("seconds" -> (System.nanoTime() - t) / 1e9))
     }
 
     // --- finalize: metrics + manifest -------------------------------------
-    val stats = spark.read.parquet(termstatsPath).agg(
-      count(lit(1)), coalesce(max($"df"), lit(0L)), coalesce(avg($"df"), lit(0.0))).head()
-    val (vocab, maxDf, meanDf) = (stats.getLong(0), stats.getLong(1), stats.getDouble(2))
-    val pb = spark.read.parquet(postingsPath)
-      .agg(count(lit(1)), coalesce(sum(length($"docs") + length($"tfs") + length($"dls")), lit(0L)),
-        coalesce(sum($"cnt"), lit(0L))).head()
-    val (nBlocks, bytes, postings) = (pb.getLong(0), pb.getLong(1), pb.getLong(2))
     val seconds = (System.nanoTime() - t0) / 1e9
+    val metrics = computeMetrics(spark, postingsPath, termstatsPath, nDocs, seconds)
     val manifest = IndexManifest(
       version = 1,
       numShards = cfg.numShards,
@@ -231,21 +207,79 @@ object IndexBuilder {
       avgdl = avgdl,
       shardBounds = bounds,
       lineage = lineage ++ Map("builder" -> "graft.index.IndexBuilder"),
-      metrics = Map(
-        "buildSeconds" -> seconds,
-        "docsPerSecond" -> (if (seconds > 0) nDocs / seconds else 0.0),
-        "postings" -> postings.toDouble,
-        "postingsPerSecond" -> (if (seconds > 0) postings / seconds else 0.0),
-        "blocks" -> nBlocks.toDouble,
-        "compressedBytes" -> bytes.toDouble,
-        "bytesPerPosting" -> (if (postings > 0) bytes.toDouble / postings else 0.0),
-        "vocabulary" -> vocab.toDouble,
-        "maxDf" -> maxDf.toDouble,
-        "dfSkewRatio" -> (if (meanDf > 0) maxDf / meanDf else 0.0)
-      )
+      metrics = metrics
     )
     manifest.write(indexDir)
     manifest
+  }
+
+  /** Sorts posting rows (shard, term, doc_id, tf, dl) through the
+    * (shard, term)-partitioned exchange and writes encoded blocks. Shared by
+    * the batch build and the merge compactor (the shuffle-sort IS the
+    * distributed multi-way merge of whatever sorted/unsorted runs feed it).
+    */
+  private[graft] def encodePostingRows(spark: SparkSession,
+                                       rows: org.apache.spark.sql.DataFrame,
+                                       outPath: String, cfg: IndexBuildConfig,
+                                       minTasks: Int = 1): Unit = {
+    import spark.implicits._
+    val numPostingTasks =
+      if (cfg.postingTasks > 0) cfg.postingTasks
+      else math.max(spark.sparkContext.defaultParallelism * 3, minTasks)
+    val sorted = rows
+      .select($"shard".cast("int"), $"term".cast("long"), $"doc_id".cast("long"),
+        $"tf".cast("int"), $"dl".cast("int"))
+      .repartition(numPostingTasks, $"shard", $"term")
+      .sortWithinPartitions($"shard", $"term", $"doc_id")
+    val blockRdd = sorted.queryExecution.toRdd
+      .mapPartitions(encodeBlocksInternal(_, cfg.blockSize))
+    spark.createDataset(blockRdd)
+      .write.mode(SaveMode.Overwrite).parquet(outPath)
+  }
+
+  /** df(term) via salted two-phase aggregation over the encoded blocks,
+    * written bucket-partitioned for query-time pruning.
+    */
+  private[graft] def buildTermstats(spark: SparkSession, postingsPath: String,
+                                    termstatsPath: String, cfg: IndexBuildConfig): Unit = {
+    import spark.implicits._
+    val blocksDf = spark.read.parquet(postingsPath)
+    // salt on block id: partial sums per (term, salt), then final merge —
+    // bounds any single reducer's load for pathologically hot terms.
+    val partial = blocksDf
+      .groupBy($"term", pmod($"block", lit(cfg.saltBuckets)).as("salt"))
+      .agg(sum($"cnt").as("c"))
+    val df = partial.groupBy($"term").agg(sum($"c").as("df"))
+      .withColumn("bucket", pmod($"term", lit(cfg.termBuckets)).cast("int"))
+    df.repartition(cfg.termBuckets, $"bucket")
+      .sortWithinPartitions($"bucket", $"term")
+      .write.mode(SaveMode.Overwrite).parquet(termstatsPath)
+  }
+
+  /** Index-wide metrics from the written postings + termstats. */
+  private[graft] def computeMetrics(spark: SparkSession, postingsPath: String,
+                                    termstatsPath: String, nDocs: Long,
+                                    seconds: Double): Map[String, Double] = {
+    import spark.implicits._
+    val stats = spark.read.parquet(termstatsPath).agg(
+      count(lit(1)), coalesce(max($"df"), lit(0L)), coalesce(avg($"df"), lit(0.0))).head()
+    val (vocab, maxDf, meanDf) = (stats.getLong(0), stats.getLong(1), stats.getDouble(2))
+    val pb = spark.read.parquet(postingsPath)
+      .agg(count(lit(1)), coalesce(sum(length($"docs") + length($"tfs") + length($"dls")), lit(0L)),
+        coalesce(sum($"cnt"), lit(0L))).head()
+    val (nBlocks, bytes, postings) = (pb.getLong(0), pb.getLong(1), pb.getLong(2))
+    Map(
+      "buildSeconds" -> seconds,
+      "docsPerSecond" -> (if (seconds > 0) nDocs / seconds else 0.0),
+      "postings" -> postings.toDouble,
+      "postingsPerSecond" -> (if (seconds > 0) postings / seconds else 0.0),
+      "blocks" -> nBlocks.toDouble,
+      "compressedBytes" -> bytes.toDouble,
+      "bytesPerPosting" -> (if (postings > 0) bytes.toDouble / postings else 0.0),
+      "vocabulary" -> vocab.toDouble,
+      "maxDf" -> maxDf.toDouble,
+      "dfSkewRatio" -> (if (meanDf > 0) maxDf / meanDf else 0.0)
+    )
   }
 
   /** Streaming block encoder over InternalRows sorted by

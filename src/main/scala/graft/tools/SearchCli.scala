@@ -41,11 +41,23 @@ object SearchCli {
         val ms = (System.nanoTime() - t0) / 1e6
         hits.foreach(h => println(f"${h.doc_id}%8d  ${h.score}%.6f"))
         println(f"${hits.length} hits in $ms%.0f ms ($mode)")
+      case "merge" :: baseDir :: outDir :: deltaPath :: rest =>
+        // fold a delta corpus (parquet: doc_id, text) into a base index via
+        // the distributed multi-way posting merge; optional csv of doc ids
+        // to remove/supersede as the 4th arg
+        val superseded = rest.headOption.map(_.split(",").filter(_.nonEmpty).map(_.toLong))
+          .getOrElse(Array.empty[Long])
+        val deltas = spark.read.parquet(deltaPath)
+          .selectExpr("doc_id", "text as content").as[CorpusDoc]
+        val m = Compactor.merge(spark, baseDir, outDir, deltas, superseded,
+          new Bm25Index(spark, baseDir).tokenizer)
+        println(f"merged: ${m.nDocs} docs, ${m.metrics("postings")}%.0f postings, " +
+          f"avgdl ${m.avgdl}%.4f (frozen), ${m.metrics("bytesPerPosting")}%.2f B/posting")
       case "explain" :: indexDir :: qs if qs.nonEmpty =>
         val idx = new Bm25Index(spark, indexDir)
         idx.search(qs.mkString(" "), Some(10)).explain("formatted")
       case other =>
-        System.err.println(s"usage: build <docs.parquet> <indexDir> [shards] | query <indexDir> <k> <wand|exhaustive> <query...> | explain <indexDir> <query...>; got $other")
+        System.err.println(s"usage: build <docs.parquet> <indexDir> [shards] | merge <baseDir> <outDir> <deltas.parquet> [ids,csv] | query <indexDir> <k> <wand|exhaustive> <query...> | explain <indexDir> <query...>; got $other")
         sys.exit(2)
     } finally spark.stop()
   }
