@@ -106,37 +106,54 @@ final class Bm25Index(spark: SparkSession, val indexDir: String,
     val qOcc = queryTerms(query)
     if (qOcc.isEmpty) return spark.emptyDataset[ScoredDoc]
     val distinctTerms = qOcc.distinct
-    val dfs = termDfs(distinctTerms)
-    val idfs: Map[Long, Float] = distinctTerms.iterator.map(t => t -> idf(dfs.getOrElse(t, 0L))).toMap
-    val present = distinctTerms.filter(dfs.contains)
-    if (present.isEmpty) return spark.emptyDataset[ScoredDoc]
 
     val scored = mode match {
-      case "wand" if limit.isDefined => wandTopK(qOcc, present, idfs, limit.get)
-      case _                         => exhaustive(qOcc, present, idfs)
+      case "wand" if limit.isDefined =>
+        // WAND needs idfs up front (block bounds) → one small termstats
+        // lookup, then the pruned merge.
+        val dfs = termDfs(distinctTerms)
+        val present = distinctTerms.filter(dfs.contains)
+        if (present.isEmpty) return spark.emptyDataset[ScoredDoc]
+        val idfs = distinctTerms.iterator.map(t => t -> idf(dfs.getOrElse(t, 0L))).toMap
+        wandTopK(qOcc, present, idfs, limit.get)
+      case _ =>
+        exhaustive(qOcc, distinctTerms)
     }
     val sorted = scored.orderBy($"score".desc, $"doc_id".asc)
     limit.map(sorted.limit).getOrElse(sorted).as[ScoredDoc]
   }
 
-  /** Reference-exact scoring of every candidate (disjunctive union). */
-  private def exhaustive(qOcc: Array[Long], present: Array[Long],
-                         idfs: Map[Long, Float]): Dataset[ScoredDoc] = {
+  /** Reference-exact scoring of every candidate (disjunctive union), as ONE
+    * Spark job: the per-term df rides into the score fold via a broadcast
+    * join with the pruned termstats (no driver round-trip; idf is computed
+    * in f32 inside the fold, identically to `scorer.rs:99-123`).
+    */
+  private def exhaustive(qOcc: Array[Long], terms: Array[Long]): Dataset[ScoredDoc] = {
     val emb = embedder
+    val n = nDocs
     val qOccB = spark.sparkContext.broadcast(qOcc)
-    val idfB = spark.sparkContext.broadcast(idfs)
-    postingsFor(present)
-      .groupByKey(_.doc_id)
+    val buckets = terms.map(manifest.bucketOf).distinct
+    val stats = spark.read.parquet(s"$indexDir/termstats")
+      .where($"bucket".isin(buckets.map(Int.box): _*) && $"term".isin(terms.map(Long.box): _*))
+      .select($"term", $"df")
+    postingsFor(terms).toDF()
+      .join(broadcast(stats), "term")
+      .select($"doc_id", $"term", $"tf", $"dl", $"df")
+      .as[(Long, Long, Int, Int, Long)]
+      .groupByKey(_._1)
       .mapGroups { (docId, rows) =>
         val values = new java.util.HashMap[Long, Float](16)
-        rows.foreach(p => values.putIfAbsent(p.term, emb.weight(p.tf, p.dl)))
+        val idfs = new java.util.HashMap[Long, Float](16)
+        rows.foreach { case (_, term, tf, dl, df) =>
+          values.putIfAbsent(term, emb.weight(tf, dl))
+          idfs.putIfAbsent(term, graft.bm25.Bm25Math.idf(n, df))
+        }
         var score = 0.0f
         val occ = qOccB.value
-        val idfMap = idfB.value
         var i = 0
         while (i < occ.length) {
           val v = values.get(occ(i)) // 0.0f when absent — adding 0f is exact
-          if (v != 0.0f) score += idfMap(occ(i)) * v
+          if (v != 0.0f) score += idfs.get(occ(i)) * v
           i += 1
         }
         ScoredDoc(docId, score)

@@ -61,6 +61,23 @@ class Bm25IndexSpec extends SparkTestBase {
     assert(index.search("zzzunseenwordzzz", Some(5)).isEmpty)
   }
 
+  test("empty and single-doc corpora build queryable indexes") {
+    val emptyDir = tmpDir("idx_empty")
+    IndexBuilder.build(spark, spark.emptyDataset[CorpusDoc], Bm25Tokenizer.default,
+      emptyDir, IndexBuildConfig(numShards = 2, shardGroups = 1, uniformIdSpace = true))
+    val emptyIdx = new Bm25Index(spark, emptyDir)
+    assert(emptyIdx.nDocs === 0L)
+    assert(emptyIdx.manifest.avgdl === 256.0f) // fallback, embedder.rs:129
+    assert(emptyIdx.search("anything", Some(5)).isEmpty)
+
+    val oneDir = tmpDir("idx_one")
+    IndexBuilder.build(spark, Seq(CorpusDoc(1L, "solitary spark document")).toDS(),
+      Bm25Tokenizer.default, oneDir, IndexBuildConfig(numShards = 2, shardGroups = 1))
+    val oneIdx = new Bm25Index(spark, oneDir)
+    val hits = oneIdx.search("spark", None).collect()
+    assert(hits.length === 1 && hits.head.doc_id === 1L && hits.head.score > 0f)
+  }
+
   test("df from termstats equals live distinct count from postings") {
     val terms = index.queryTerms("merge join").distinct
     val dfs = index.termDfs(terms)
