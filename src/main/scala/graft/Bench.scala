@@ -50,11 +50,15 @@ object Bench {
     def pct(p: Double) = lats(math.min(lats.length - 1, (p * lats.length).toInt))
 
     // --- per-query catalog timings (warm: shared index dirs prebuilt) -----
+    // Timed via the noop sink, NOT count(): count() lets Catalyst prune
+    // unevaluated projections, so map-only queries would be measured as
+    // bare scans.
     Queries.cachedIndex(spark, sfDir, "simple", Queries.simpleTokenizer)
     Queries.cachedIndex(spark, sfDir, "real", Bm25Tokenizer.default)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
+      catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }.mkString("{", ",", "}")

@@ -3,7 +3,7 @@ package graft.api
 import graft.bm25.{Bm25Params, Embedder}
 import graft.index._
 import graft.text.{Bm25Tokenizer, FxHash, Language, TextTokenizer}
-import org.apache.spark.sql.{Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** A document (reference `Document<K>`, `/root/reference/src/search.rs:17-38`).
@@ -82,10 +82,24 @@ final class SearchEngine private[api] (
 
   def upsert(doc: Doc): Unit = upsert(Seq(doc))
 
+  /** Distributed upsert of a whole batch — rows never touch the driver
+    * (streaming ingest / bulk-delta path). All rows share one seq, so doc
+    * keys must be unique within the batch (duplicates across batches are
+    * fine: latest seq wins).
+    */
+  def upsertBatch(docs: Dataset[Doc]): Unit = {
+    val seq = nextSeq
+    docs.mapPartitions { it =>
+      it.map(d => LogRow(FxHash.hash64(d.id) & Long.MaxValue, d.id, d.contents, seq, tombstone = false))
+    }.write.mode(SaveMode.Append).parquet(logPath)
+    nextSeq = seq + 1
+  }
+
   def remove(id: String): Unit = appendLog(Seq(
     LogRow(surrogate(id), id, "", nextSeq, tombstone = true)))
 
   private def appendLog(rows: Seq[LogRow]): Unit = {
+    if (rows.isEmpty) return
     rows.toDS().coalesce(1).write.mode(SaveMode.Append).parquet(logPath)
     nextSeq = rows.iterator.map(_.seq).max + 1
   }
@@ -139,26 +153,31 @@ final class SearchEngine private[api] (
   private def sealBase(): Unit =
     Checkpoints.commit(indexPath, "base_seq", Map("seq" -> (nextSeq - 1)))
 
-  /** Live docs newer than the base, plus all doc ids superseded since. */
-  private def deltaState(): (Array[(Long, String)], Array[Long]) = {
-    if (!logExists) return (Array.empty, Array.empty)
+  /** Live docs newer than the base, plus all doc ids superseded since — as
+    * DATASETS: delta contents are embedded in executors and tombstones are
+    * applied via broadcast anti-join, so an upsert burst between compactions
+    * never funnels through the driver.
+    */
+  private def deltaState(): (Dataset[(Long, String)], DataFrame) = {
     val baseSeq = if (baseExists) builtSeqMarker else -1L
+    // fast path: the base covers every appended row → no deltas, zero jobs
+    if (!logExists || nextSeq - 1 <= baseSeq)
+      return (spark.emptyDataset[(Long, String)], spark.emptyDataset[Long].toDF("doc_id"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy($"doc_id").orderBy($"seq".desc)
     val latest = spark.read.parquet(logPath)
       .withColumn("rn", row_number().over(w)).where($"rn" === 1).drop("rn")
     val changed = latest.where($"seq" > baseSeq)
     val live = changed.where(!$"tombstone")
-      .select($"doc_id", $"contents").as[(Long, String)].collect()
-    val superseded = changed.select($"doc_id").as[Long].collect()
-    (live, superseded)
+      .select($"doc_id", $"contents").as[(Long, String)]
+    (live, changed.select($"doc_id"))
   }
 
-  private def liveN(baseN: Long, superseded: Array[Long], deltaLiveCount: Int): Long = {
+  private def liveN(baseN: Long, supersededIds: DataFrame, deltaLiveCount: Long): Long = {
     // N = base docs − superseded ids that existed in base + live delta docs.
     val inBase: Long =
-      if (baseExists && superseded.nonEmpty)
+      if (baseExists)
         spark.read.parquet(s"$indexPath/forward")
-          .where($"doc_id".isin(superseded.map(Long.box): _*))
+          .join(broadcast(supersededIds.select($"doc_id")), Seq("doc_id"), "left_semi")
           .count()
       else 0L
     baseN - inBase + deltaLiveCount
@@ -176,26 +195,32 @@ final class SearchEngine private[api] (
     val distinctTerms = qOcc.distinct
     val qset = distinctTerms.toSet
 
-    val (deltaLive, superseded) = deltaState()
-    val supersededSet = superseded.toSet
+    val (deltaLive, supersededIds) = deltaState()
+    val hasDeltas = logExists && nextSeq - 1 > (if (baseExists) builtSeqMarker else -1L)
 
     val base: Dataset[Posting] =
       baseIndex.map(_.postingsFor(distinctTerms)).getOrElse(spark.emptyDataset[Posting])
-    val baseFiltered =
-      if (supersededSet.isEmpty) base
-      else { val s = supersededSet; base.filter(p => !s.contains(p.doc_id)) }
-    val deltaCands: Seq[Posting] = deltaLive.toSeq.flatMap { case (docId, contents) =>
-      val (terms, tfs, dl) = emb.termFrequencies(contents)
-      terms.indices.collect { case i if qset.contains(terms(i)) => Posting(docId, terms(i), tfs(i), dl) }
+    val baseFiltered: Dataset[Posting] =
+      if (!hasDeltas) base
+      else base.join(broadcast(supersededIds), Seq("doc_id"), "left_anti").as[Posting]
+    // delta docs are embedded IN EXECUTORS (no driver collect): tokenize,
+    // keep only postings whose term is queried
+    val deltaCands: Dataset[Posting] = deltaLive.mapPartitions { it =>
+      it.flatMap { case (docId, contents) =>
+        val (terms, tfs, dl) = emb.termFrequencies(contents)
+        terms.indices.collect { case i if qset.contains(terms(i)) => Posting(docId, terms(i), tfs(i), dl) }
+      }
     }
-    val cands = baseFiltered.union(spark.createDataset(deltaCands)).persist()
+    val cands = baseFiltered.union(deltaCands).persist()
     try {
       // exact live df per query term + live N (mirrors scorer.rs:99-107 state)
       val dfLive: Map[Long, Long] = cands.groupBy($"term")
         .agg(countDistinct($"doc_id").as("df")).as[(Long, Long)].collect().toMap
       if (dfLive.isEmpty) return Seq.empty
       val baseN = baseIndex.map(_.manifest.nDocs).getOrElse(0L)
-      val nLive = liveN(baseN, superseded, deltaLive.length)
+      val nLive =
+        if (!hasDeltas) baseN
+        else liveN(baseN, supersededIds, deltaLive.count())
 
       val idfs: Map[Long, Float] = distinctTerms.iterator.map { t =>
         t -> graft.bm25.Bm25Math.idf(nLive, dfLive.getOrElse(t, 0L))
@@ -244,9 +269,9 @@ final class SearchEngine private[api] (
     val tmp = s"$dir/index_compacting"
     deleteRecursively(new java.io.File(tmp))
     if (baseExists) {
-      val (deltaLive, superseded) = deltaState()
-      val deltaCorpus = deltaLive.toSeq.map { case (id, c) => CorpusDoc(id, c) }.toDS()
-      Compactor.merge(spark, indexPath, tmp, deltaCorpus, superseded, tokenizer, cfg)
+      val (deltaLive, supersededIds) = deltaState()
+      val deltaCorpus = deltaLive.map { case (id, c) => CorpusDoc(id, c) }
+      Compactor.merge(spark, indexPath, tmp, deltaCorpus, supersededIds, tokenizer, cfg)
     } else {
       val corpus = liveDocs.mapPartitions { it =>
         it.map(d => CorpusDoc(FxHash.hash64(d.id) & Long.MaxValue, d.contents))
@@ -254,13 +279,18 @@ final class SearchEngine private[api] (
       IndexBuilder.build(spark, corpus, tokenizer, tmp, cfg,
         Map("source" -> logPath), Some(frozenAvgdl))
     }
-    val old = new java.io.File(indexPath)
-    if (old.exists()) {
-      val bak = new java.io.File(s"$dir/index_old")
-      deleteRecursively(bak)
-      old.renameTo(bak)
+    // Swap with java.nio Files.move (throws on failure — a silent renameTo
+    // failure here would seal base_seq over an index that never moved into
+    // place, dropping the un-folded deltas from every later search).
+    import java.nio.file.{Files, Paths}
+    val oldDir = Paths.get(indexPath)
+    if (Files.exists(oldDir)) {
+      val bak = Paths.get(s"$dir/index_old")
+      deleteRecursively(bak.toFile)
+      Files.move(oldDir, bak)
     }
-    new java.io.File(tmp).renameTo(new java.io.File(indexPath))
+    Files.move(Paths.get(tmp), oldDir)
+    require(IndexManifest.exists(indexPath), s"compaction swap failed: no manifest at $indexPath")
     Checkpoints.commit(indexPath, "base_seq", Map("seq" -> sealSeq))
   }
 

@@ -175,6 +175,11 @@ final class Bm25Index(spark: SparkSession, val indexDir: String,
     val emb = embedder
     val qOccB = spark.sparkContext.broadcast(qOcc)
     val idfB = spark.sparkContext.broadcast(idfs)
+    // Query-token multiplicity: the score fold adds idf·weight once per
+    // occurrence in qOcc (scorer.rs:109-123), so a term repeated m times
+    // contributes m× — bounds must scale by m or block skips are unsafe.
+    val multB = spark.sparkContext.broadcast(
+      qOcc.groupBy(identity).map { case (t, a) => t -> a.length })
     val blocks = spark.read.parquet(s"$indexDir/postings")
       .where($"term".isin(present: _*))
       .select($"shard", $"term", $"block", $"cnt", $"max_tf", $"min_dl", $"docs", $"tfs", $"dls")
@@ -183,6 +188,10 @@ final class Bm25Index(spark: SparkSession, val indexDir: String,
     blocks.mapPartitions { it =>
       val occ = qOccB.value
       val idfMap = idfB.value
+      val multMap = multB.value
+      // Conservative padding for the f32 accumulation of ≤|occ| additions:
+      // fold result ≤ realSum·(1+2^-24)^(|occ|-1); 1e-6·|occ| dominates that.
+      val pad = 1.0 + occ.length * 1e-6
       val heap = new java.util.PriorityQueue[ScoredDoc](k + 1,
         (a: ScoredDoc, b: ScoredDoc) =>
           if (a.score != b.score) java.lang.Float.compare(a.score, b.score)
@@ -200,11 +209,13 @@ final class Bm25Index(spark: SparkSession, val indexDir: String,
       final class Cursor(val term: Long, blocksIn: java.util.ArrayList[(Int, Int, Int, Int, Array[Byte], Array[Byte], Array[Byte])]) {
         blocksIn.sort((a, b) => Integer.compare(a._1, b._1))
         val idf: Float = idfMap(term)
-        // partition-wide bound for this term (residual for others' skips)
+        val mult: Int = multMap.getOrElse(term, 1)
+        // partition-wide bound for this term (residual for others' skips),
+        // scaled by the term's query-occurrence multiplicity
         var termBound: Double = 0.0
         (0 until blocksIn.size).foreach { i =>
           val (_, _, maxTf, minDl, _, _, _) = blocksIn.get(i)
-          val ub = Math.nextUp(idf * Math.nextUp(emb.weight(maxTf, minDl))).toDouble
+          val ub = mult * Math.nextUp(idf * Math.nextUp(emb.weight(maxTf, minDl))).toDouble
           if (ub > termBound) termBound = ub
         }
         private var bi = 0
@@ -215,10 +226,10 @@ final class Bm25Index(spark: SparkSession, val indexDir: String,
         private var n = 0
         var residual: Double = 0.0 // set once all cursors exist
 
-        /** bound of the CURRENT block (idf·weight(max_tf,min_dl), padded) */
+        /** bound of the CURRENT block (mult·idf·weight(max_tf,min_dl), padded) */
         private def blockBound(i: Int): Double = {
           val (_, _, maxTf, minDl, _, _, _) = blocksIn.get(i)
-          Math.nextUp(idf * Math.nextUp(emb.weight(maxTf, minDl))).toDouble
+          mult * Math.nextUp(idf * Math.nextUp(emb.weight(maxTf, minDl))).toDouble
         }
 
         /** Advance to the next undecoded block, skipping blocks whose docs
@@ -228,7 +239,7 @@ final class Bm25Index(spark: SparkSession, val indexDir: String,
           docs = null
           while (bi < blocksIn.size && docs == null) {
             if (threshold != Double.NegativeInfinity &&
-                blockBound(bi) + residual < threshold) { bi += 1 } // skip whole block
+                (blockBound(bi) + residual) * pad < threshold) { bi += 1 } // skip whole block
             else {
               val (_, cnt, _, _, d, t, l) = blocksIn.get(bi)
               docs = PostingCodec.decodeDeltas(d, cnt)

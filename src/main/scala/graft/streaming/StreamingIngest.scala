@@ -29,8 +29,10 @@ object StreamingIngest {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: Dataset[Doc], batchId: Long) =>
-        val docs = batch.collect() // delta batches are small by design
-        if (docs.nonEmpty) engine.upsert(docs.toSeq)
+        // distributed append: the batch is mapped to log rows in executors
+        // and written straight to the delta log — no driver funnel, so an
+        // arbitrarily large micro-batch cannot OOM the driver
+        engine.upsertBatch(batch)
         if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
           engine.compact(IndexBuildConfig(numShards = 4, shardGroups = 1))
       }

@@ -43,6 +43,23 @@ class Bm25IndexSpec extends SparkTestBase {
     }
   }
 
+  test("WAND ≡ exhaustive with repeated query tokens (multiplicity-scaled bounds)") {
+    // A token repeated in the query contributes mult·idf·weight to the fold
+    // (scorer.rs:109-123); WAND block bounds must scale by mult or they
+    // under-estimate and skip blocks holding true top-k docs.
+    // "keys key" stems to the same token twice — the post-stemming duplicate case.
+    for (q <- Seq("merge merge join sort sort sort", "keys key", "batch batch batch stream");
+         k <- Seq(3, 10)) {
+      val ex = index.search(q, Some(k), mode = "exhaustive").collect()
+      val wd = index.search(q, Some(k), mode = "wand").collect()
+      assert(wd.map(_.doc_id).toSeq === ex.map(_.doc_id).toSeq, s"q='$q' k=$k ids")
+      wd.zip(ex).foreach { case (w, e) =>
+        assert(java.lang.Float.floatToRawIntBits(w.score) ===
+          java.lang.Float.floatToRawIntBits(e.score), s"q='$q' k=$k doc ${w.doc_id}")
+      }
+    }
+  }
+
   test("scoreDoc matches the search score for a hit, None for absent doc") {
     val q = "merge join sort"
     val top = index.search(q, Some(3)).collect()
