@@ -10,6 +10,40 @@ object OracleSql {
   private val nltkEn: String =
     graft.text.Stopwords.english.toSeq.sorted.map(w => "'" + w.replace("'", "''") + "'").mkString(", ")
 
+  /** BM25 top-20 recomputed from scratch over the post-mutation corpus
+    * (remove doc_id%37==0, mutate doc_id%41==0), with avgdl FROZEN at its
+    * build-time value over the original corpus (f32-cast like the engine's
+    * manifest). Shared by the pre- and post-compaction lifecycle entries —
+    * compaction must not move anything.
+    */
+  private val lifecycleSql: String =
+    """WITH live AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 41 = 0 THEN text || ' graft mutated row' ELSE text END AS text
+      |  FROM documents WHERE doc_id % 37 <> 0
+      |), words AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ws FROM live
+      |), frozen AS (
+      |  SELECT (sum(len(string_split(text, ' ')))::DOUBLE / count(*))::REAL::DOUBLE AS avgdl
+      |  FROM documents
+      |), stats AS (
+      |  SELECT count(*) AS n FROM words
+      |), tf AS (
+      |  SELECT doc_id, w AS term, count(*) AS tf, any_value(dl) AS dl FROM (
+      |    SELECT doc_id, unnest(ws) AS w, len(ws) AS dl FROM words
+      |  ) GROUP BY doc_id, w
+      |), df AS (
+      |  SELECT term, count(*) AS df FROM tf GROUP BY term
+      |), q AS (
+      |  SELECT unnest(['merge', 'join', 'sort', 'table']) AS term
+      |)
+      |SELECT tf.doc_id AS doc_id,
+      |  round(sum(ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+      |      * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / frozen.avgdl))), 3) AS score_r
+      |FROM tf JOIN q USING (term) JOIN df USING (term) CROSS JOIN stats CROSS JOIN frozen
+      |GROUP BY tf.doc_id
+      |ORDER BY score_r DESC, doc_id LIMIT 20""".stripMargin
+
   val all: Map[String, String] = Map(
 
     "ft_token_counts" ->
@@ -49,23 +83,32 @@ object OracleSql {
         |GROUP BY tf.doc_id
         |ORDER BY score_r DESC, doc_id LIMIT 20""".stripMargin,
 
+    "ft_lifecycle_topk" -> lifecycleSql,
+
+    "ft_compacted_topk" -> lifecycleSql,
+
     "dedup_exact" ->
       """WITH h AS (SELECT doc_id, md5(text) AS h FROM documents),
         |k AS (SELECT h, min(doc_id) AS keep_id, count(*) AS dup_cnt FROM h GROUP BY h)
         |SELECT doc_id, keep_id, dup_cnt FROM h JOIN k USING (h) ORDER BY doc_id""".stripMargin,
 
     "dedup_jaccard_block" ->
-      """WITH d AS (
-        |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws,
-        |         (doc_id // 50) AS blk
-        |  FROM documents
+      """WITH w AS (
+        |  SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents
+        |), d AS (
+        |  SELECT doc_id, list_distinct(ws) AS wsd,
+        |    CASE WHEN len(ws) >= 3 THEN
+        |      list_aggregate(list_transform(range(1, len(ws) - 1),
+        |        i -> md5('jb:' || ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])), 'min')
+        |    ELSE md5(text) END AS blk
+        |  FROM w
         |)
         |SELECT a.doc_id AS a, b.doc_id AS b,
-        |  round(len(list_intersect(a.ws, b.ws))::DOUBLE
-        |        / (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))), 4) AS jaccard
+        |  round(len(list_intersect(a.wsd, b.wsd))::DOUBLE
+        |        / (len(a.wsd) + len(b.wsd) - len(list_intersect(a.wsd, b.wsd))), 4) AS jaccard
         |FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id
-        |WHERE len(list_intersect(a.ws, b.ws))::DOUBLE
-        |      / (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))) >= 0.8
+        |WHERE len(list_intersect(a.wsd, b.wsd))::DOUBLE
+        |      / (len(a.wsd) + len(b.wsd) - len(list_intersect(a.wsd, b.wsd))) >= 0.8
         |ORDER BY a, b""".stripMargin,
 
     "dedup_minhash_sig" ->
@@ -121,12 +164,61 @@ object OracleSql {
         |FROM bands GROUP BY band, bucket HAVING count(*) > 1
         |ORDER BY band, bucket""".stripMargin,
 
-    "dedup_embedding_cosine" ->
-      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
-        |SELECT a.vec_id AS a, b.vec_id AS b,
-        |  round(list_cosine_similarity(a.v, b.v), 4) AS cos_r
-        |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-        |WHERE list_cosine_similarity(a.v, b.v) >= 0.35
+    "dedup_embedding_cosine" -> {
+      val bit = (p: Int) =>
+        s"""(CASE WHEN list_sum(list_transform(range(1, len(v) + 1),
+           |      d -> CASE WHEN substr(md5('rp:$p:' || (d-1)::VARCHAR), 1, 1) < '8' THEN v[d] ELSE -v[d] END)) >= 0
+           |  THEN '1' ELSE '0' END)""".stripMargin
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |b AS (
+         |  SELECT vec_id, v,
+         |    ${(0 until 8).map(bit).mkString(" ||\n    ")} AS bucket
+         |  FROM e
+         |)
+         |SELECT a.vec_id AS a, b2.vec_id AS b,
+         |  round(list_cosine_similarity(a.v, b2.v), 4) AS cos_r
+         |FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+         |WHERE list_cosine_similarity(a.v, b2.v) >= 0.35
+         |ORDER BY a, b""".stripMargin
+    },
+
+    "dedup_minhash_verified" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |), sh AS (
+        |  SELECT doc_id,
+        |    list_transform(range(1, len(ws) - 1),
+        |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS shingles
+        |  FROM d WHERE len(ws) >= 3
+        |), sig AS (
+        |  SELECT doc_id,
+        |    list_aggregate(list_transform(shingles, s -> md5('0:' || s)), 'min') AS h0,
+        |    list_aggregate(list_transform(shingles, s -> md5('1:' || s)), 'min') AS h1,
+        |    list_aggregate(list_transform(shingles, s -> md5('2:' || s)), 'min') AS h2,
+        |    list_aggregate(list_transform(shingles, s -> md5('3:' || s)), 'min') AS h3,
+        |    list_aggregate(list_transform(shingles, s -> md5('4:' || s)), 'min') AS h4,
+        |    list_aggregate(list_transform(shingles, s -> md5('5:' || s)), 'min') AS h5,
+        |    list_aggregate(list_transform(shingles, s -> md5('6:' || s)), 'min') AS h6,
+        |    list_aggregate(list_transform(shingles, s -> md5('7:' || s)), 'min') AS h7
+        |  FROM sh
+        |), bands AS (
+        |  SELECT doc_id, 0 AS band, md5(h0 || h1) AS bucket FROM sig
+        |  UNION ALL SELECT doc_id, 1, md5(h2 || h3) FROM sig
+        |  UNION ALL SELECT doc_id, 2, md5(h4 || h5) FROM sig
+        |  UNION ALL SELECT doc_id, 3, md5(h6 || h7) FROM sig
+        |), pairs AS (
+        |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        |  FROM bands x JOIN bands y
+        |    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+        |), s AS (
+        |  SELECT doc_id, list_distinct(shingles) AS shs FROM sh
+        |)
+        |SELECT a, b,
+        |  round(len(list_intersect(sa.shs, sb.shs))::DOUBLE
+        |        / (len(sa.shs) + len(sb.shs) - len(list_intersect(sa.shs, sb.shs))), 4) AS jaccard
+        |FROM pairs JOIN s sa ON pairs.a = sa.doc_id JOIN s sb ON pairs.b = sb.doc_id
+        |WHERE len(list_intersect(sa.shs, sb.shs))::DOUBLE
+        |      / (len(sa.shs) + len(sb.shs) - len(list_intersect(sa.shs, sb.shs))) >= 0.7
         |ORDER BY a, b""".stripMargin,
 
     "sim_cosine_topk" ->

@@ -50,6 +50,61 @@ object Queries {
     dir
   }
 
+  /** Mutation-lifecycle engine (I1/I2/Q1/Q2 driver coverage): upsert all
+    * documents, build the base, remove doc_id%37==0, then upsert mutated
+    * versions of doc_id%41==0 — all deterministic, cached per
+    * (sfDir, compacted?). The compacted variant additionally folds the
+    * deltas into a fresh base via the distributed multi-way merge, which
+    * must not change any search result.
+    */
+  def lifecycleEngine(spark: SparkSession, sfDir: String, compacted: Boolean): String = synchronized {
+    import spark.implicits._
+    val safe = sfDir.replaceAll("[^a-zA-Z0-9.]", "_")
+    val variant = if (compacted) "cmp" else "live"
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_eng_${safe}_$variant"
+    val marker = new java.io.File(s"$dir/_lifecycle_done")
+    if (!marker.exists()) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(new java.io.File(dir)) // stale partial state from a killed run
+      val eng = graft.api.SearchEngine.open(spark, dir, tokenizer = Some(simpleTokenizer))
+      val d = docs(spark, sfDir).select($"doc_id", $"text").as[(Long, String)]
+      eng.upsertBatch(d.map { case (id, t) => graft.api.Doc(id.toString, t) })
+      eng.buildBase(IndexBuildConfig(numShards = 4, shardGroups = 1))
+      eng.removeBatch(d.filter(_._1 % 37 == 0).map(_._1.toString))
+      eng.upsertBatch(d.filter { case (id, _) => id % 41 == 0 && id % 37 != 0 }
+        .map { case (id, t) => graft.api.Doc(id.toString, t + " graft mutated row") })
+      if (compacted) eng.compact(IndexBuildConfig(numShards = 4, shardGroups = 1))
+      marker.createNewFile(): Unit
+    }
+    dir
+  }
+
+  /** Double-precision BM25 top-20 over the engine's LIVE view (the engine's
+    * own f32 path is snapshot-gated in sbt; the driver compare needs the
+    * cross-dialect double convention). avgdl is the frozen build-time value.
+    */
+  private def lifecycleTopk(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val eng = graft.api.SearchEngine.open(spark, dir, tokenizer = Some(simpleTokenizer))
+    val terms = simpleTokenizer.tokenize("merge join sort table").map(FxHash.hash32u).toArray.distinct
+    val (posts, nLive) = eng.liveQueryState(terms)
+    val avgdl = IndexManifest.read(s"$dir/index").avgdl.toDouble
+    val dfs = posts.toDF().groupBy($"term").agg(countDistinct($"doc_id").as("df"))
+    val scored = posts.toDF().join(broadcast(dfs), "term")
+      .withColumn("idf", log(lit(1.0) + (lit(nLive.toDouble) - $"df" + lit(0.5)) / ($"df" + lit(0.5))))
+      .withColumn("w", $"tf" * lit(2.2) / ($"tf" + lit(1.2) * (lit(0.25) + lit(0.75) * $"dl" / lit(avgdl))))
+      .groupBy($"doc_id").agg(round(sum($"idf" * $"w"), 3).as("score_r"))
+    // map the engine's surrogate ids back to the original doc ids via the log
+    val keys = spark.read.parquet(s"$dir/docstore").select($"doc_id", $"key").distinct()
+    scored.join(keys, "doc_id")
+      .select($"key".cast("long").as("doc_id"), $"score_r")
+      .orderBy($"score_r".desc, $"doc_id")
+      .limit(20)
+  }
+
   private val nltkEnSql: String =
     graft.text.Stopwords.english.toSeq.sorted.map(w => "'" + w.replace("'", "''") + "'").mkString(", ")
 
@@ -142,6 +197,23 @@ object Queries {
         "merge join sort stream", Some(20), mode = "wand")
     },
 
+    // I1/I2/Q1/Q2 lifecycle: upserts and removes applied through the
+    // engine's delta log against a built base index, searched via the live
+    // view (base postings minus tombstones, plus executor-embedded deltas,
+    // df/N recomputed live). The oracle recomputes BM25 over the
+    // post-mutation corpus from scratch.
+    "ft_lifecycle_topk" -> { (spark, sfDir) =>
+      lifecycleTopk(spark, lifecycleEngine(spark, sfDir, compacted = false))
+    },
+
+    // Compaction equivalence: the same live view AFTER the distributed
+    // multi-way merge folds the deltas into a fresh base. Same oracle as
+    // ft_lifecycle_topk — any drift introduced by compaction fails the
+    // driver check.
+    "ft_compacted_topk" -> { (spark, sfDir) =>
+      lifecycleTopk(spark, lifecycleEngine(spark, sfDir, compacted = true))
+    },
+
     // ------------------------------------------------------------- dedup
 
     "dedup_exact" -> { (spark, sfDir) =>
@@ -153,13 +225,21 @@ object Queries {
         .orderBy($"doc_id")
     },
 
+    // n-gram Jaccard dedup with CONTENT-derived blocking: the block key is
+    // the doc's minimum 3-shingle hash (a 1-band minhash), so near-dup docs
+    // collide with P ≈ Jaccard regardless of where their ids fall; docs with
+    // <3 words fall back to an exact-text block. Pair generation is
+    // within-block only — never all-pairs.
     "dedup_jaccard_block" -> { (spark, sfDir) =>
       import spark.implicits._
       val d = docs(spark, sfDir)
-        .select($"doc_id", array_distinct(split($"text", " ")).as("ws"),
-          floor($"doc_id" / 50).as("blk"))
-      val a = d.select($"blk", $"doc_id".as("a"), $"ws".as("wa"))
-      val b = d.select($"blk", $"doc_id".as("b"), $"ws".as("wb"))
+        .select($"doc_id", split($"text", " ").as("ws"), md5($"text").as("th"))
+        .withColumn("wsd", array_distinct($"ws"))
+        .withColumn("blk", when(size($"ws") >= 3, expr(
+          "array_min(transform(sequence(0, size(ws)-3), i -> md5(concat('jb:', ws[i], ' ', ws[i+1], ' ', ws[i+2]))))"))
+          .otherwise($"th"))
+      val a = d.select($"blk", $"doc_id".as("a"), $"wsd".as("wa"))
+      val b = d.select($"blk", $"doc_id".as("b"), $"wsd".as("wb"))
       a.join(b, Seq("blk")).where($"a" < $"b")
         .withColumn("jac",
           size(array_intersect($"wa", $"wb")).cast("double") / size(array_union($"wa", $"wb")))
@@ -202,6 +282,33 @@ object Queries {
         .orderBy($"band", $"bucket")
     },
 
+    // The full LSH pipeline's last step: band-bucket candidate pairs
+    // VERIFIED by exact 3-shingle Jaccard ≥ 0.7 (pairs are bucket-bounded,
+    // so the verification join is cheap at any scale).
+    "dedup_minhash_verified" -> { (spark, sfDir) =>
+      import spark.implicits._
+      val sig = all("dedup_minhash_sig")(spark, sfDir).persist()
+      sig.count()
+      val stacked = sig.selectExpr("doc_id",
+        "stack(4, 0, band0, 1, band1, 2, band2, 3, band3) as (band, bucket)")
+      val xs = stacked.select($"band", $"bucket", $"doc_id".as("a"))
+      val ys = stacked.select($"band", $"bucket", $"doc_id".as("b"))
+      val pairs = xs.join(ys, Seq("band", "bucket")).where($"a" < $"b")
+        .select($"a", $"b").distinct()
+      val sh = docs(spark, sfDir).select($"doc_id", split($"text", " ").as("ws"))
+        .where(size($"ws") >= 3)
+        .select($"doc_id", array_distinct(expr(
+          "transform(sequence(0, size(ws)-3), i -> concat(ws[i], ' ', ws[i+1], ' ', ws[i+2]))")).as("shs"))
+      pairs
+        .join(sh.select($"doc_id".as("a"), $"shs".as("sa")), "a")
+        .join(sh.select($"doc_id".as("b"), $"shs".as("sb")), "b")
+        .withColumn("jac",
+          size(array_intersect($"sa", $"sb")).cast("double") / size(array_union($"sa", $"sb")))
+        .where($"jac" >= 0.7)
+        .select($"a", $"b", round($"jac", 4).as("jaccard"))
+        .orderBy($"a", $"b")
+    },
+
     // SimHash (rows-only: bit-twiddling is not portable DuckDB SQL): 32-bit
     // fingerprint from md5(word) bits, majority-weighted by tf.
     "dedup_simhash" -> { (spark, sfDir) =>
@@ -229,13 +336,25 @@ object Queries {
         .orderBy($"doc_id")
     },
 
+    // Embedding near-dup via random-hyperplane LSH: 8 Rademacher hyperplanes
+    // (signs derived from md5 so DuckDB reproduces them exactly) hash each
+    // vector to an 8-bit bucket; candidate pairs are generated WITHIN
+    // buckets only — no all-pairs join in the physical plan, so one hot
+    // label can never cartesian-blow-up at scale.
     "dedup_embedding_cosine" -> { (spark, sfDir) =>
       import spark.implicits._
       val e = tbl(spark, sfDir, "embeddings")
-        .select($"vec_id", $"label", expr("transform(embedding, x -> cast(x as double))").as("v"))
-      val a = e.select($"label", $"vec_id".as("a"), $"v".as("va"))
-      val b = e.select($"label", $"vec_id".as("b"), $"v".as("vb"))
-      a.join(b, Seq("label")).where($"a" < $"b")
+        .select($"vec_id", expr("transform(embedding, x -> cast(x as double))").as("v"))
+      val bitCols = (0 until 8).map { p =>
+        when(expr(
+          s"aggregate(zip_with(v, sequence(0, size(v)-1), (x, d) -> " +
+          s"CASE WHEN substring(md5(concat('rp:$p:', cast(d as string))), 1, 1) < '8' THEN x ELSE -x END), " +
+          s"cast(0 as double), (s, x) -> s + x)") >= 0, lit("1")).otherwise(lit("0"))
+      }
+      val withB = e.withColumn("bucket", concat(bitCols: _*))
+      val a = withB.select($"bucket", $"vec_id".as("a"), $"v".as("va"))
+      val b = withB.select($"bucket", $"vec_id".as("b"), $"v".as("vb"))
+      a.join(b, Seq("bucket")).where($"a" < $"b")
         .withColumn("dot", expr("aggregate(zip_with(va, vb, (x, y) -> x*y), cast(0 as double), (s, p) -> s + p)"))
         .withColumn("na", expr("sqrt(aggregate(transform(va, x -> x*x), cast(0 as double), (s, p) -> s + p))"))
         .withColumn("nb", expr("sqrt(aggregate(transform(vb, x -> x*x), cast(0 as double), (s, p) -> s + p))"))
@@ -262,31 +381,61 @@ object Queries {
         .limit(20)
     },
 
-    // IVF-style ANN (rows-only; recall vs brute force asserted in sbt tests):
-    // centroids = first 8 vectors, probe the 2 nearest lists.
+    // IVF ANN (rows-only oracle; recall@10 ≥ 0.9 vs sim_cosine_topk is
+    // asserted in AnnRecallSpec): centroids trained by 5 rounds of
+    // distributed Lloyd's k-means (K=16, deterministic init from the first
+    // K vectors), then nprobe=4 inverted lists are scanned for the query.
     "sim_ann_ivf" -> { (spark, sfDir) =>
       import spark.implicits._
       val e = tbl(spark, sfDir, "embeddings")
         .select($"vec_id", expr("transform(embedding, x -> cast(x as double))").as("v"))
-      val cents = e.where($"vec_id" < 8).collect()
-        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-        .sortBy(_._1) // deterministic argmax tie-break
-      val centB = spark.sparkContext.broadcast(cents)
+      val k = 16
+      val nprobe = 4
       def cos(a: Array[Double], b: Array[Double]): Double = {
         var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
         while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
-        d / math.sqrt(na * nb)
+        if (na == 0 || nb == 0) -1.0 else d / math.sqrt(na * nb)
       }
+      def nearest(cents: Array[Array[Double]], v: Array[Double]): Int = {
+        var best = 0; var bestC = -2.0; var i = 0
+        while (i < cents.length) {
+          val c = cos(cents(i), v)
+          if (c > bestC) { bestC = c; best = i }
+          i += 1
+        }
+        best
+      }
+      // Lloyd's: assign (broadcast centroids, narrow map) → per-cluster mean
+      // (one small groupBy shuffle) → collect K centroids. Every step is
+      // distributed; only K×dim doubles ever reach the driver.
+      var cents: Array[Array[Double]] = e.where($"vec_id" < k).orderBy($"vec_id")
+        .collect().map(_.getSeq[Double](1).toArray)
+      for (_ <- 1 to 5) {
+        val cB = spark.sparkContext.broadcast(cents)
+        val updated = e.as[(Long, Seq[Double])]
+          .map { case (_, v) => (nearest(cB.value, v.toArray), v) }
+          .groupByKey(_._1)
+          .mapGroups { (c, it) =>
+            var n = 0L; var sum: Array[Double] = null
+            it.foreach { case (_, v) =>
+              if (sum == null) sum = new Array[Double](v.length)
+              var i = 0; while (i < v.length) { sum(i) += v(i); i += 1 }
+              n += 1
+            }
+            (c, sum.map(_ / n))
+          }.collect().toMap
+        cents = cents.indices.map(i => updated.getOrElse(i, cents(i))).toArray
+      }
+      val centB = spark.sparkContext.broadcast(cents)
       val assigned = e.as[(Long, Seq[Double])].map { case (id, v) =>
         val arr = v.toArray
-        val best = centB.value.maxBy { case (_, c) => cos(arr, c) }._1
-        (id, best, arr)
+        (id, nearest(centB.value, arr), arr)
       }.toDF("vec_id", "cluster", "v")
       val qv = e.where($"vec_id" === 0).head().getSeq[Double](1).toArray
       val qvB = spark.sparkContext.broadcast(qv)
-      val probe = cents.sortBy { case (_, c) => -cos(qv, c) }.take(2).map(_._1)
-      assigned.where($"cluster".isin(probe.map(Long.box): _*) && $"vec_id" =!= 0)
-        .as[(Long, Long, Seq[Double])]
+      val probe = cents.indices.sortBy(i => -cos(qv, cents(i))).take(nprobe)
+      assigned.where($"cluster".isin(probe.map(Int.box): _*) && $"vec_id" =!= 0)
+        .as[(Long, Int, Seq[Double])]
         .map { case (id, _, v) => (id, math.rint(cos(v.toArray, qvB.value) * 10000) / 10000) }
         .toDF("vec_id", "cos_r")
         .orderBy($"cos_r".desc, $"vec_id")

@@ -98,6 +98,15 @@ final class SearchEngine private[api] (
   def remove(id: String): Unit = appendLog(Seq(
     LogRow(surrogate(id), id, "", nextSeq, tombstone = true)))
 
+  /** Distributed batch remove (tombstones written in executors). */
+  def removeBatch(ids: Dataset[String]): Unit = {
+    val seq = nextSeq
+    ids.mapPartitions { it =>
+      it.map(k => LogRow(FxHash.hash64(k) & Long.MaxValue, k, "", seq, tombstone = true))
+    }.write.mode(SaveMode.Append).parquet(logPath)
+    nextSeq = seq + 1
+  }
+
   private def appendLog(rows: Seq[LogRow]): Unit = {
     if (rows.isEmpty) return
     rows.toDS().coalesce(1).write.mode(SaveMode.Append).parquet(logPath)
@@ -188,13 +197,15 @@ final class SearchEngine private[api] (
   /** Top-`limit` search ((score desc, key asc)-deterministic; `None` returns
     * every doc sharing ≥1 query term, like the reference's unlimited mode).
     */
-  def search(query: String, limit: Option[Int] = None): Seq[SearchResult] = {
+  /** The live-view query state for a set of distinct query terms: all
+    * postings of live documents matching any term (base minus superseded,
+    * plus executor-embedded deltas), and the live document count N.
+    * Public so callers (e.g. the driver-oracle catalog) can score the live
+    * view in alternate precisions; `search` consumes it in reference f32.
+    */
+  def liveQueryState(distinctTerms: Array[Long]): (Dataset[Posting], Long) = {
     val emb = embedder
-    val qOcc = tokenizer.tokenize(query).map(FxHash.hash32u)
-    if (qOcc.isEmpty) return Seq.empty
-    val distinctTerms = qOcc.distinct
     val qset = distinctTerms.toSet
-
     val (deltaLive, supersededIds) = deltaState()
     val hasDeltas = logExists && nextSeq - 1 > (if (baseExists) builtSeqMarker else -1L)
 
@@ -211,16 +222,26 @@ final class SearchEngine private[api] (
         terms.indices.collect { case i if qset.contains(terms(i)) => Posting(docId, terms(i), tfs(i), dl) }
       }
     }
-    val cands = baseFiltered.union(deltaCands).persist()
+    val baseN = baseIndex.map(_.manifest.nDocs).getOrElse(0L)
+    val nLive =
+      if (!hasDeltas) baseN
+      else liveN(baseN, supersededIds, deltaLive.count())
+    (baseFiltered.union(deltaCands), nLive)
+  }
+
+  def search(query: String, limit: Option[Int] = None): Seq[SearchResult] = {
+    val qOcc = tokenizer.tokenize(query).map(FxHash.hash32u)
+    if (qOcc.isEmpty) return Seq.empty
+    val distinctTerms = qOcc.distinct
+
+    val (candsRaw, nLive) = liveQueryState(distinctTerms)
+    val cands = candsRaw.persist()
+    val emb = embedder
     try {
       // exact live df per query term + live N (mirrors scorer.rs:99-107 state)
       val dfLive: Map[Long, Long] = cands.groupBy($"term")
         .agg(countDistinct($"doc_id").as("df")).as[(Long, Long)].collect().toMap
       if (dfLive.isEmpty) return Seq.empty
-      val baseN = baseIndex.map(_.manifest.nDocs).getOrElse(0L)
-      val nLive =
-        if (!hasDeltas) baseN
-        else liveN(baseN, supersededIds, deltaLive.count())
 
       val idfs: Map[Long, Float] = distinctTerms.iterator.map { t =>
         t -> graft.bm25.Bm25Math.idf(nLive, dfLive.getOrElse(t, 0L))
