@@ -93,14 +93,14 @@ object Compactor {
     val deltaRows = deltaFwd.toDF()
       .select($"shard", $"doc_id", $"dl", explode(arrays_zip($"terms", $"tfs")).as("te"))
       .select($"shard", $"te.terms".as("term"), $"doc_id", $"te.tfs".as("tf"), $"dl")
-    IndexBuilder.encodePostingRows(spark, baseKept.unionByName(deltaRows),
-      s"$outDir/postings/group=0", eff, eff.numShards)
+    val (nBlocks, bytes, postings) = IndexBuilder.encodePostingRows(spark,
+      baseKept.unionByName(deltaRows), s"$outDir/postings/group=0", eff, eff.numShards)
 
     // --- termstats + manifest ---------------------------------------------
     IndexBuilder.buildTermstats(spark, s"$outDir/postings", s"$outDir/termstats", eff)
     val seconds = (System.nanoTime() - t0) / 1e9
-    val metrics = IndexBuilder.computeMetrics(spark, s"$outDir/postings", s"$outDir/termstats",
-      nDocs, seconds)
+    val metrics = IndexBuilder.computeMetrics(spark, s"$outDir/termstats",
+      nDocs, seconds, nBlocks, bytes, postings)
     val manifest = base.copy(
       nDocs = nDocs,
       sumDl = sumDl,

@@ -137,27 +137,36 @@ object IndexBuilder {
     }
 
     // --- stage 2: corpus stats (N, Σdl, avgdl) ----------------------------
-    val (nDocs, sumDl) =
+    // Launched as a CONCURRENT job: it only reads the committed forward
+    // output, so it overlaps with the postings stage instead of serializing
+    // the build (its result is not needed until the manifest is written).
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val statsF: Future[(Long, Long)] =
       if (Checkpoints.isDone(indexDir, "stats")) {
         val s = Checkpoints.readAll(indexDir)("stats")
         val n = com.fasterxml.jackson.databind.json.JsonMapper.builder().build().readTree(s)
-        (n.get("nDocs").asLong(), n.get("sumDl").asLong())
-      } else {
+        Future.successful((n.get("nDocs").asLong(), n.get("sumDl").asLong()))
+      } else Future {
         val row = spark.read.parquet(fwdPath).agg(count(lit(1)), coalesce(sum($"dl"), lit(0L))).head()
         val (n, s) = (row.getLong(0), row.getLong(1))
         Checkpoints.commit(indexDir, "stats", Map("nDocs" -> n, "sumDl" -> s))
         (n, s)
       }
-    val avgdl = avgdlOverride.getOrElse(
-      if (nDocs == 0L) Embedder.FallbackAvgdl
-      else (sumDl.toDouble / nDocs.toDouble).toFloat)
 
     // --- stage 3: posting blocks per shard group --------------------------
     val groups = math.max(1, math.min(cfg.shardGroups, cfg.numShards))
-    val blockSize = cfg.blockSize
+    var encBlocks = 0L; var encBytes = 0L; var encPostings = 0L
     for (g <- 0 until groups) {
       val name = s"postings_g$g"
-      if (!Checkpoints.isDone(indexDir, name)) {
+      if (Checkpoints.isDone(indexDir, name)) {
+        val s = Checkpoints.readAll(indexDir)(name)
+        val n = com.fasterxml.jackson.databind.json.JsonMapper.builder().build().readTree(s)
+        if (n.has("blocks")) {
+          encBlocks += n.get("blocks").asLong(); encBytes += n.get("bytes").asLong()
+          encPostings += n.get("postings").asLong()
+        }
+      } else {
         val t = System.nanoTime()
         val shardsInGroup = (0 until cfg.numShards).filter(_ % groups == g)
         // Columnar end-to-end: explode via Catalyst's generate (whole-stage
@@ -176,10 +185,12 @@ object IndexBuilder {
         // each group owns its subdirectory (hive-style `group=N`, so readers
         // of the root discover it as a partition column): group overwrite is
         // a plain directory replace, and each task writes exactly one file
-        encodePostingRows(spark, exploded, s"$postingsPath/group=$g", cfg,
+        val (b, by, p) = encodePostingRows(spark, exploded, s"$postingsPath/group=$g", cfg,
           math.max(shardsInGroup.size, 1))
+        encBlocks += b; encBytes += by; encPostings += p
         Checkpoints.commit(indexDir, name, Map(
           "shards" -> shardsInGroup.mkString(","),
+          "blocks" -> b, "bytes" -> by, "postings" -> p,
           "seconds" -> (System.nanoTime() - t) / 1e9))
       }
     }
@@ -193,8 +204,14 @@ object IndexBuilder {
     }
 
     // --- finalize: metrics + manifest -------------------------------------
+    import scala.concurrent.duration.Duration
+    val (nDocs, sumDl) = Await.result(statsF, Duration.Inf)
+    val avgdl = avgdlOverride.getOrElse(
+      if (nDocs == 0L) Embedder.FallbackAvgdl
+      else (sumDl.toDouble / nDocs.toDouble).toFloat)
     val seconds = (System.nanoTime() - t0) / 1e9
-    val metrics = computeMetrics(spark, postingsPath, termstatsPath, nDocs, seconds)
+    val metrics = computeMetrics(spark, termstatsPath, nDocs, seconds,
+      encBlocks, encBytes, encPostings)
     val manifest = IndexManifest(
       version = 1,
       numShards = cfg.numShards,
@@ -218,24 +235,125 @@ object IndexBuilder {
     * the batch build and the merge compactor (the shuffle-sort IS the
     * distributed multi-way merge of whatever sorted/unsorted runs feed it).
     */
+  /** Distributed multi-way posting merge (north_rule): map tasks locally
+    * sort bounded posting buffers and emit delta+varbyte run CHUNKS
+    * (~10 B/posting) keyed by (shard, term-prefix) group; the exchange
+    * carries 3× less data than raw posting rows and the reduce side k-way
+    * merges the sorted chunks straight into blocks — no external sort at
+    * all. See PostingRuns for the chunk format and determinism argument.
+    */
   private[graft] def encodePostingRows(spark: SparkSession,
                                        rows: org.apache.spark.sql.DataFrame,
                                        outPath: String, cfg: IndexBuildConfig,
-                                       minTasks: Int = 1): Unit = {
+                                       minTasks: Int = 1): (Long, Long, Long) = {
     import spark.implicits._
     val numPostingTasks =
       if (cfg.postingTasks > 0) cfg.postingTasks
       else math.max(spark.sparkContext.defaultParallelism * 3, minTasks)
-    val sorted = rows
-      .select($"shard".cast("int"), $"term".cast("long"), $"doc_id".cast("long"),
-        $"tf".cast("int"), $"dl".cast("int"))
-      .repartition(numPostingTasks, $"shard", $"term")
-      .sortWithinPartitions($"shard", $"term", $"doc_id")
-    val blockRdd = sorted.queryExecution.toRdd
-      .mapPartitions(encodeBlocksInternal(_, cfg.blockSize))
+    // (shard, term-prefix) groups: fine enough that task count scales with
+    // the cluster (not capped by numShards), coarse enough that map-side
+    // chunks stay densely packed
+    val bucketsPerShard = Integer.highestOneBit(
+      math.max(1, numPostingTasks * 2 / math.max(cfg.numShards, 1)))
+    val prefixBits = Integer.numberOfTrailingZeros(bucketsPerShard)
+    def pkeyOf(skey: Long): Int = {
+      val shard = (skey >>> 32).toInt
+      val term = skey & 0xFFFFFFFFL
+      shard * bucketsPerShard + (term >>> (32 - prefixBits)).toInt
+    }
+    val packed = rows.select(
+      (shiftleft($"shard".cast("long"), 32) + $"term".cast("long")).as("skey"),
+      $"doc_id".cast("long").as("doc_id"),
+      $"tf".cast("int"), $"dl".cast("int"))
+
+    // map side: buffer → local sort → encoded chunks
+    val chunkRdd = packed.queryExecution.toRdd.mapPartitions { it =>
+      val buf = new PostingRuns.RunBuffer(1 << 19, pkeyOf)
+      new Iterator[(Int, Array[Byte])] {
+        private var pending: Iterator[(Int, Array[Byte])] = Iterator.empty
+        @annotation.tailrec
+        private def refill(): Unit =
+          if (!pending.hasNext) {
+            if (it.hasNext) {
+              while (it.hasNext && !buf.isFull) {
+                val r = it.next()
+                buf.add(r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3))
+              }
+              pending = buf.flush()
+              refill()
+            } else if (buf.nonEmpty) pending = buf.flush()
+          }
+        def hasNext: Boolean = { refill(); pending.hasNext }
+        def next(): (Int, Array[Byte]) = { refill(); pending.next() }
+      }
+    }
+    val shuffled = spark.createDataset(chunkRdd).toDF("pkey", "chunk")
+      .repartition(numPostingTasks, $"pkey")
+
+    val blocksAcc = spark.sparkContext.longAccumulator("postingBlocks")
+    val bytesAcc = spark.sparkContext.longAccumulator("postingBytes")
+    val postingsAcc = spark.sparkContext.longAccumulator("postings")
+    val blockSize = cfg.blockSize
+    // reduce side: k-way merge of chunk cursors → streaming block encoder
+    val blockRdd = shuffled.queryExecution.toRdd.mapPartitions { it =>
+      val pq = new java.util.PriorityQueue[PostingRuns.RunCursor](64,
+        (a: PostingRuns.RunCursor, b: PostingRuns.RunCursor) => {
+          val c = java.lang.Long.compare(a.skey, b.skey)
+          if (c != 0) c else java.lang.Long.compare(a.doc, b.doc)
+        })
+      it.foreach { r =>
+        val c = new PostingRuns.RunCursor(r.getBinary(1))
+        if (c.advance()) pq.add(c)
+      }
+      mergeToBlocks(pq, blockSize).map { b =>
+        blocksAcc.add(1L)
+        bytesAcc.add(b.docs.length.toLong + b.tfs.length + b.dls.length)
+        postingsAcc.add(b.cnt.toLong)
+        b
+      }
+    }
     spark.createDataset(blockRdd)
       .write.mode(SaveMode.Overwrite).parquet(outPath)
+    (blocksAcc.value, bytesAcc.value, postingsAcc.value)
   }
+
+  /** Streaming block builder over the cursor heap: pops (skey, doc)-ordered
+    * postings, groups runs of one (shard, term), emits ≤blockSize blocks.
+    */
+  private def mergeToBlocks(pq: java.util.PriorityQueue[PostingRuns.RunCursor],
+                            blockSize: Int): Iterator[PostingBlock] =
+    new Iterator[PostingBlock] {
+      private var curSkey = -1L
+      private var blockNo = 0
+
+      def hasNext: Boolean = !pq.isEmpty
+
+      def next(): PostingBlock = {
+        val skey = pq.peek().skey
+        if (skey != curSkey) { curSkey = skey; blockNo = 0 }
+        val docs = new Array[Long](blockSize)
+        val tfs = new Array[Int](blockSize)
+        val dls = new Array[Int](blockSize)
+        var n = 0
+        var maxTf = 0
+        var minDl = Int.MaxValue
+        while (n < blockSize && !pq.isEmpty && pq.peek().skey == skey) {
+          val c = pq.poll()
+          docs(n) = c.doc; tfs(n) = c.tf; dls(n) = c.dl
+          if (c.tf > maxTf) maxTf = c.tf
+          if (c.dl < minDl) minDl = c.dl
+          n += 1
+          if (c.advance()) pq.add(c)
+        }
+        val b = PostingBlock((skey >>> 32).toInt, skey & 0xFFFFFFFFL, blockNo, n,
+          maxTf, minDl,
+          PostingCodec.encodeDeltas(java.util.Arrays.copyOf(docs, n)),
+          PostingCodec.encodeInts(java.util.Arrays.copyOf(tfs, n)),
+          PostingCodec.encodeInts(java.util.Arrays.copyOf(dls, n)))
+        blockNo += 1
+        b
+      }
+    }
 
   /** df(term) via salted two-phase aggregation over the encoded blocks,
     * written bucket-partitioned for query-time pruning.
@@ -256,18 +374,18 @@ object IndexBuilder {
       .write.mode(SaveMode.Overwrite).parquet(termstatsPath)
   }
 
-  /** Index-wide metrics from the written postings + termstats. */
-  private[graft] def computeMetrics(spark: SparkSession, postingsPath: String,
-                                    termstatsPath: String, nDocs: Long,
-                                    seconds: Double): Map[String, Double] = {
+  /** Index-wide metrics: block stats come from the encoder's accumulators
+    * (no end-of-build postings rescan); only the small termstats table is
+    * aggregated here.
+    */
+  private[graft] def computeMetrics(spark: SparkSession, termstatsPath: String,
+                                    nDocs: Long, seconds: Double,
+                                    nBlocks: Long, bytes: Long,
+                                    postings: Long): Map[String, Double] = {
     import spark.implicits._
     val stats = spark.read.parquet(termstatsPath).agg(
       count(lit(1)), coalesce(max($"df"), lit(0L)), coalesce(avg($"df"), lit(0.0))).head()
     val (vocab, maxDf, meanDf) = (stats.getLong(0), stats.getLong(1), stats.getDouble(2))
-    val pb = spark.read.parquet(postingsPath)
-      .agg(count(lit(1)), coalesce(sum(length($"docs") + length($"tfs") + length($"dls")), lit(0L)),
-        coalesce(sum($"cnt"), lit(0L))).head()
-    val (nBlocks, bytes, postings) = (pb.getLong(0), pb.getLong(1), pb.getLong(2))
     Map(
       "buildSeconds" -> seconds,
       "docsPerSecond" -> (if (seconds > 0) nDocs / seconds else 0.0),
@@ -282,59 +400,4 @@ object IndexBuilder {
     )
   }
 
-  /** Streaming block encoder over InternalRows sorted by
-    * (shard, term, doc_id) with schema (shard Int, term Long, doc_id Long,
-    * tf Int, dl Int): groups consecutive runs, emits ≤blockSize-entry
-    * compressed blocks. Memory is O(blockSize) regardless of posting-list
-    * length; zero per-posting allocation (rows are reused UnsafeRows —
-    * primitives are extracted immediately, no row references retained).
-    */
-  private def encodeBlocksInternal(it: Iterator[org.apache.spark.sql.catalyst.InternalRow],
-                                   blockSize: Int): Iterator[PostingBlock] =
-    new Iterator[PostingBlock] {
-      private var curShard = -1
-      private var curTerm = 0L
-      private var blockNo = 0
-      // one-row lookahead (primitives only — the row object is reused)
-      private var hasPending = false
-      private var pShard = 0; private var pTerm = 0L; private var pDoc = 0L
-      private var pTf = 0; private var pDl = 0
-
-      private def fetch(): Unit = {
-        if (it.hasNext) {
-          val r = it.next()
-          pShard = r.getInt(0); pTerm = r.getLong(1); pDoc = r.getLong(2)
-          pTf = r.getInt(3); pDl = r.getInt(4)
-          hasPending = true
-        } else hasPending = false
-      }
-      fetch()
-
-      def hasNext: Boolean = hasPending
-
-      def next(): PostingBlock = {
-        if (pShard != curShard || pTerm != curTerm) {
-          curShard = pShard; curTerm = pTerm; blockNo = 0
-        }
-        val docs = new Array[Long](blockSize)
-        val tfs = new Array[Int](blockSize)
-        val dls = new Array[Int](blockSize)
-        var n = 0
-        var maxTf = 0
-        var minDl = Int.MaxValue
-        while (n < blockSize && hasPending && pShard == curShard && pTerm == curTerm) {
-          docs(n) = pDoc; tfs(n) = pTf; dls(n) = pDl
-          if (pTf > maxTf) maxTf = pTf
-          if (pDl < minDl) minDl = pDl
-          n += 1
-          fetch()
-        }
-        val b = PostingBlock(curShard, curTerm, blockNo, n, maxTf, minDl,
-          PostingCodec.encodeDeltas(java.util.Arrays.copyOf(docs, n)),
-          PostingCodec.encodeInts(java.util.Arrays.copyOf(tfs, n)),
-          PostingCodec.encodeInts(java.util.Arrays.copyOf(dls, n)))
-        blockNo += 1
-        b
-      }
-    }
 }

@@ -1,7 +1,7 @@
 package graft.text
 
 import java.util.Locale
-import graft.text.stem.{EnglishStemmer, GermanStemmer, NoOpStemmer, Stemmer}
+import graft.text.stem._
 
 /** Languages supported by the tokenizer (the reference's 17-variant enum,
   * `/root/reference/src/default_tokenizer.rs:17-35`). Stemming is currently
@@ -70,9 +70,23 @@ final class Bm25Tokenizer private (
   private val stemmer: Stemmer =
     if (!stemming) NoOpStemmer
     else language match {
-      case Language.English => EnglishStemmer
-      case Language.German  => GermanStemmer
-      case _                => NoOpStemmer
+      case Language.Arabic     => ArabicStemmer
+      case Language.Danish     => DanishStemmer
+      case Language.Dutch      => DutchStemmer
+      case Language.English    => EnglishStemmer
+      case Language.French     => FrenchStemmer
+      case Language.German     => GermanStemmer
+      case Language.Greek      => GreekStemmer
+      case Language.Hungarian  => HungarianStemmer
+      case Language.Italian    => ItalianStemmer
+      case Language.Norwegian  => NorwegianStemmer
+      case Language.Portuguese => PortugueseStemmer
+      case Language.Romanian   => RomanianStemmer
+      case Language.Russian    => RussianStemmer
+      case Language.Spanish    => SpanishStemmer
+      case Language.Swedish    => SwedishStemmer
+      case Language.Tamil      => TamilStemmer
+      case Language.Turkish    => TurkishStemmer
     }
 
   // The stopword set is itself normalized when normalization is on,

@@ -79,8 +79,22 @@ object Stopwords {
     * (incl. Tamil, per the reference) get the empty set.
     */
   def forLanguage(lang: Language): Set[String] = lang match {
-    case Language.English => english
-    case Language.German  => german
-    case _                => Set.empty
+    case Language.Arabic     => StopwordLists.arabic
+    case Language.Danish     => StopwordLists.danish
+    case Language.Dutch      => StopwordLists.dutch
+    case Language.English    => english
+    case Language.French     => StopwordLists.french
+    case Language.German     => german
+    case Language.Greek      => StopwordLists.greek
+    case Language.Hungarian  => StopwordLists.hungarian
+    case Language.Italian    => StopwordLists.italian
+    case Language.Norwegian  => StopwordLists.norwegian
+    case Language.Portuguese => StopwordLists.portuguese
+    case Language.Romanian   => StopwordLists.romanian
+    case Language.Russian    => StopwordLists.russian
+    case Language.Spanish    => StopwordLists.spanish
+    case Language.Swedish    => StopwordLists.swedish
+    case Language.Tamil      => Set.empty // the reference: no NLTK Tamil list
+    case Language.Turkish    => StopwordLists.turkish
   }
 }

@@ -31,6 +31,8 @@ object ScalingBench {
       // task regardless of cores (at production scale the default is right)
       .config("spark.sql.files.maxPartitionBytes", "4m")
       .config("spark.sql.files.openCostInBytes", "1m")
+      .config("spark.io.compression.codec",
+        sys.env.getOrElse("SPARK_GRAFT_CODEC", "lz4"))
       .config("spark.ui.enabled", "false")
       .appName("bm25spark-scaling")
       .getOrCreate()

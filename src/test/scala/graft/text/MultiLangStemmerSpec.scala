@@ -1,0 +1,102 @@
+package graft.text
+
+import graft.text.stem._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Golden vectors for the 15 newly-ported Snowball stemmers, hand-derived
+  * by executing the published algorithm definitions step by step (the
+  * Snowball sample vocabularies are unreachable offline). Each vector's
+  * derivation was traced through R1/R2/RV and the step conditions by hand.
+  */
+class MultiLangStemmerSpec extends AnyFunSuite {
+
+  private def check(s: Stemmer, cases: (String, String)*): Unit =
+    cases.foreach { case (in, out) =>
+      assert(s.stem(in) === out, s"stem($in)")
+    }
+
+  test("Danish golden vectors") {
+    check(DanishStemmer,
+      "indtagelse" -> "indtag",   // e → els → consonant checks
+      "kendelse" -> "kend",
+      "hundene" -> "hund",
+      "bakker" -> "bak",          // er + undouble kk
+      "hund" -> "hund")
+  }
+
+  test("Norwegian golden vectors") {
+    check(NorwegianStemmer,
+      "bilene" -> "bil",
+      "huset" -> "hus",
+      "bankene" -> "bank",
+      "bil" -> "bil")
+  }
+
+  test("Swedish golden vectors") {
+    check(SwedishStemmer,
+      "bilarna" -> "bil",
+      "flickorna" -> "flick",
+      "jakten" -> "jakt",
+      "huset" -> "huset", // Swedish step 1 has no "et" (unlike Norwegian)
+      "bil" -> "bil")
+  }
+
+  test("Dutch golden vectors") {
+    check(DutchStemmer,
+      "bomen" -> "bom",
+      "boom" -> "bom",           // step-4 undouble vowel: boom ≡ bomen
+      "gekken" -> "gek",
+      "lichamelijk" -> "licham")
+  }
+
+  test("Spanish golden vectors") {
+    check(SpanishStemmer,
+      "gatos" -> "gat",
+      "canciones" -> "cancion",
+      "importante" -> "import",
+      "trabajando" -> "trabaj")
+  }
+
+  test("French golden vectors") {
+    check(FrenchStemmer,
+      "continuellement" -> "continuel", // ement in RV + step-5 undouble ell
+      "animaux" -> "animal",            // aux → al in R1
+      "majestueux" -> "majestu")        // eux deleted in R2
+  }
+
+  test("Italian golden vectors") {
+    check(ItalianStemmer,
+      "abbandonata" -> "abbandon",
+      "pericolosa" -> "pericol")
+  }
+
+  test("Portuguese golden vectors") {
+    check(PortugueseStemmer,
+      "bonita" -> "bonit")              // residual a in RV
+  }
+
+  test("Russian golden vectors (Cyrillic — fires only without normalization)") {
+    check(RussianStemmer,
+      "книгами" -> "книг",              // noun ами in RV
+      "красивые" -> "красив")           // adjective ые
+  }
+
+  test("non-Latin stemmers are no-ops on ASCII (the default-normalization path)") {
+    for (s <- Seq[Stemmer](RussianStemmer, GreekStemmer, ArabicStemmer, TamilStemmer))
+      for (w <- Seq("kniga", "logos", "kitab", "veedu", "random"))
+        assert(s.stem(w) === w, s"$s should not touch ASCII '$w'")
+  }
+
+  test("all 17 languages route to a stemmer and stem without error") {
+    val words = Seq("continuellement", "abbandonata", "bilarna", "gatos",
+      "huset", "boeken", "словами", "βιβλία", "كتابها", "evlerinden",
+      "házakban", "cărțile", "புத்தகங்கள்", "palavras", "bøkene", "hunden",
+      "running", "läufer")
+    Language.all.foreach { lang =>
+      val tok = Bm25Tokenizer(lang)
+      words.foreach { w =>
+        tok.tokenize(w) // must not throw on any script
+      }
+    }
+  }
+}
