@@ -55,6 +55,8 @@ object Bench {
     // bare scans.
     Queries.cachedIndex(spark, sfDir, "simple", Queries.simpleTokenizer)
     Queries.cachedIndex(spark, sfDir, "real", Bm25Tokenizer.default)
+    Queries.lifecycleEngine(spark, sfDir, compacted = false)
+    Queries.lifecycleEngine(spark, sfDir, compacted = true)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }

@@ -44,6 +44,51 @@ object OracleSql {
       |GROUP BY tf.doc_id
       |ORDER BY score_r DESC, doc_id LIMIT 20""".stripMargin
 
+  /** The LanguageDetector rule restated in DuckDB: script regexes for the
+    * four non-Latin languages, then full vendored-NLTK-stopword hit counts
+    * across the 13 Latin-script languages with first-max-wins in
+    * `LanguageDetector.latinOrder` — both sides share the same list
+    * constants, so the classifier is identical by construction.
+    */
+  private val langidSql: String = {
+    import graft.text.{LanguageDetector, Stopwords}
+    val codes = LanguageDetector.latinOrder.map(LanguageDetector.shortCode)
+    def esc(w: String) = "'" + w.replace("'", "''") + "'"
+    val hitCols = LanguageDetector.latinOrder.map { lang =>
+      val code = LanguageDetector.shortCode(lang)
+      val list = Stopwords.forLanguage(lang).toSeq.sorted.map(esc).mkString(", ")
+      s"    len(list_filter(ws, w -> w IN ($list))) AS c_$code"
+    }.mkString(",\n")
+    val allZero = codes.map(c => s"c_$c = 0").mkString(" AND ")
+    val caseChain = codes.zipWithIndex.map { case (c, i) =>
+      val rest = codes.drop(i + 1)
+      if (rest.isEmpty) s"         ELSE '$c' END AS predicted"
+      else {
+        val conds = rest.map(r => s"c_$c >= c_$r").mkString(" AND ")
+        s"         WHEN $conds THEN '$c'"
+      }
+    }.mkString("\n")
+    s"""WITH d AS (
+       |  SELECT lang, text, string_split(lower(text), ' ') AS ws FROM documents
+       |), c AS (
+       |  SELECT lang, text,
+       |$hitCols
+       |  FROM d
+       |), p AS (
+       |  SELECT lang,
+       |    CASE WHEN regexp_matches(text, '[\\x{0400}-\\x{04FF}]') THEN 'ru'
+       |         WHEN regexp_matches(text, '[\\x{0370}-\\x{03FF}]') THEN 'el'
+       |         WHEN regexp_matches(text, '[\\x{0600}-\\x{06FF}]') THEN 'ar'
+       |         WHEN regexp_matches(text, '[\\x{0B80}-\\x{0BFF}]') THEN 'ta'
+       |         WHEN $allZero THEN 'und'
+       |$caseChain
+       |  FROM p0
+       |)
+       |SELECT lang, predicted, count(*) AS cnt FROM p
+       |GROUP BY lang, predicted ORDER BY lang, predicted""".stripMargin
+      .replace("FROM p0", "FROM c")
+  }
+
   val all: Map[String, String] = Map(
 
     "ft_token_counts" ->
@@ -238,26 +283,7 @@ object OracleSql {
          |  round(len(list_distinct(ws))::DOUBLE / len(ws), 4) AS distinct_ratio
          |FROM d ORDER BY doc_id""".stripMargin,
 
-    "textq_langid" ->
-      """WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents),
-        |c AS (
-        |  SELECT doc_id, lang,
-        |    len(list_filter(ws, w -> w IN ('the', 'a', 'of', 'and', 'in', 'to', 'is'))) AS c_en,
-        |    len(list_filter(ws, w -> w IN ('der', 'die', 'das', 'und', 'ist', 'ein', 'zu'))) AS c_de,
-        |    len(list_filter(ws, w -> w IN ('el', 'la', 'de', 'que', 'y', 'en', 'un'))) AS c_es,
-        |    len(list_filter(ws, w -> w IN ('le', 'les', 'de', 'et', 'un', 'est', 'que'))) AS c_fr
-        |  FROM d
-        |), p AS (
-        |  SELECT lang,
-        |    CASE WHEN c_en = 0 AND c_de = 0 AND c_es = 0 AND c_fr = 0 THEN 'und'
-        |         WHEN c_en >= c_de AND c_en >= c_es AND c_en >= c_fr THEN 'en'
-        |         WHEN c_de >= c_es AND c_de >= c_fr THEN 'de'
-        |         WHEN c_es >= c_fr THEN 'es'
-        |         ELSE 'fr' END AS predicted
-        |  FROM c
-        |)
-        |SELECT lang, predicted, count(*) AS cnt FROM p
-        |GROUP BY lang, predicted ORDER BY lang, predicted""".stripMargin,
+    "textq_langid" -> langidSql,
 
     "textq_fingerprint" ->
       """SELECT doc_id,

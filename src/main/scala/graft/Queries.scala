@@ -42,7 +42,9 @@ object Queries {
     */
   def cachedIndex(spark: SparkSession, sfDir: String, kind: String, tok: TextTokenizer): String = {
     val safe = sfDir.replaceAll("[^a-zA-Z0-9.]", "_")
-    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_idx_${safe}_$kind"
+    // v2: posting blocks carry min_doc/max_doc (WAND range fan-out) — the
+    // suffix keeps stale round-1 cache dirs from being picked up
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_idx_v2_${safe}_$kind"
     import spark.implicits._
     val corpus = docs(spark, sfDir).selectExpr("doc_id", "text as content").as[CorpusDoc]
     IndexBuilder.build(spark, corpus, tok, dir,
@@ -61,7 +63,7 @@ object Queries {
     import spark.implicits._
     val safe = sfDir.replaceAll("[^a-zA-Z0-9.]", "_")
     val variant = if (compacted) "cmp" else "live"
-    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_eng_${safe}_$variant"
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_eng_v2_${safe}_$variant"
     val marker = new java.io.File(s"$dir/_lifecycle_done")
     if (!marker.exists()) {
       def rm(f: java.io.File): Unit = {
@@ -108,13 +110,6 @@ object Queries {
   private val nltkEnSql: String =
     graft.text.Stopwords.english.toSeq.sorted.map(w => "'" + w.replace("'", "''") + "'").mkString(", ")
 
-  // Language-ID mini stopword lists (shared literally by both sides).
-  private val langLists = Seq(
-    "en" -> Seq("the", "a", "of", "and", "in", "to", "is"),
-    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "zu"),
-    "es" -> Seq("el", "la", "de", "que", "y", "en", "un"),
-    "fr" -> Seq("le", "les", "de", "et", "un", "est", "que"))
-  private def inList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString(", ")
 
   // ================================================================ queries
 
@@ -232,12 +227,17 @@ object Queries {
     // within-block only — never all-pairs.
     "dedup_jaccard_block" -> { (spark, sfDir) =>
       import spark.implicits._
+      // persist() collapses the min-shingle-hash projection once — both
+      // self-join legs would otherwise recompute every shingle md5
       val d = docs(spark, sfDir)
         .select($"doc_id", split($"text", " ").as("ws"), md5($"text").as("th"))
         .withColumn("wsd", array_distinct($"ws"))
         .withColumn("blk", when(size($"ws") >= 3, expr(
           "array_min(transform(sequence(0, size(ws)-3), i -> md5(concat('jb:', ws[i], ' ', ws[i+1], ' ', ws[i+2]))))"))
           .otherwise($"th"))
+        .select($"doc_id", $"wsd", $"blk")
+        .persist()
+      d.count()
       val a = d.select($"blk", $"doc_id".as("a"), $"wsd".as("wa"))
       val b = d.select($"blk", $"doc_id".as("b"), $"wsd".as("wb"))
       a.join(b, Seq("blk")).where($"a" < $"b")
@@ -299,6 +299,8 @@ object Queries {
         .where(size($"ws") >= 3)
         .select($"doc_id", array_distinct(expr(
           "transform(sequence(0, size(ws)-3), i -> concat(ws[i], ' ', ws[i+1], ' ', ws[i+2]))")).as("shs"))
+        .persist() // shared by both pair-join legs
+      sh.count()
       pairs
         .join(sh.select($"doc_id".as("a"), $"shs".as("sa")), "a")
         .join(sh.select($"doc_id".as("b"), $"shs".as("sb")), "b")
@@ -457,20 +459,22 @@ object Queries {
         .orderBy($"doc_id")
     },
 
+    // T6 Detect mode's classifier over the whole corpus: script detection
+    // for the non-Latin languages + full-NLTK-stopword hit counting across
+    // the 13 Latin-script languages (LanguageDetector — the same object
+    // that backs the DetectTokenizer). The DuckDB oracle restates the
+    // exact rule (same lists, same first-max-wins order).
     "textq_langid" -> { (spark, sfDir) =>
       import spark.implicits._
-      val hitCols = langLists.map { case (l, ws) =>
-        size(expr(s"filter(ws, w -> w IN (${inList(ws)}))")).as(s"c_$l")
-      }
-      docs(spark, sfDir)
-        .withColumn("ws", split($"text", " "))
-        .select(($"doc_id" +: $"lang" +: hitCols): _*)
-        .withColumn("predicted", expr(
-          """CASE WHEN c_en = 0 AND c_de = 0 AND c_es = 0 AND c_fr = 0 THEN 'und'
-            |     WHEN c_en >= c_de AND c_en >= c_es AND c_en >= c_fr THEN 'en'
-            |     WHEN c_de >= c_es AND c_de >= c_fr THEN 'de'
-            |     WHEN c_es >= c_fr THEN 'es'
-            |     ELSE 'fr' END""".stripMargin))
+      docs(spark, sfDir).select($"lang", $"text").as[(String, String)]
+        .mapPartitions { it =>
+          it.map { case (lang, text) =>
+            val pred = graft.text.LanguageDetector.detect(text)
+              .map(graft.text.LanguageDetector.shortCode).getOrElse("und")
+            (lang, pred)
+          }
+        }
+        .toDF("lang", "predicted")
         .groupBy($"lang", $"predicted")
         .agg(count(lit(1)).as("cnt"))
         .orderBy($"lang", $"predicted")

@@ -33,7 +33,8 @@ final case class ScoredDoc(doc_id: Long, score: Float)
 final class Bm25Index(spark: SparkSession, val indexDir: String,
                       customTokenizer: Option[TextTokenizer] = None,
                       k1: Float = 1.2f, b: Float = 0.75f,
-                      customHasher: Option[graft.bm25.TokenHasher] = None) extends Serializable {
+                      customHasher: Option[graft.bm25.TokenHasher] = None,
+                      wandRangesPerShard: Int = 0) extends Serializable {
   import spark.implicits._
 
   val manifest: IndexManifest = IndexManifest.read(indexDir)
@@ -56,6 +57,14 @@ final class Bm25Index(spark: SparkSession, val indexDir: String,
   private val embedder = new Embedder(params, tokenizer, hasher)
 
   def nDocs: Long = manifest.nDocs
+
+  /** Sub-ranges per shard for the WAND query fan-out (task count scales as
+    * numShards × this — numShards is not a parallelism ceiling).
+    */
+  def wandFanoutRangesPerShard: Int =
+    if (wandRangesPerShard > 0) wandRangesPerShard
+    else math.max(1,
+      (spark.sparkContext.defaultParallelism * 2) / math.max(manifest.numShards, 1))
 
   /** IDF exactly as `scorer.rs:99-107`: f32 throughout, df = number of docs
     * containing the term, N = total docs.
@@ -180,11 +189,42 @@ final class Bm25Index(spark: SparkSession, val indexDir: String,
     // contributes m× — bounds must scale by m or block skips are unsafe.
     val multB = spark.sparkContext.broadcast(
       qOcc.groupBy(identity).map { case (t, a) => t -> a.length })
+    // Query fan-out is decoupled from numShards: each shard's doc range is
+    // split into R sub-ranges and every block is routed to the sub-ranges
+    // it overlaps (cursors filter decoded postings to their range), so the
+    // task count scales with the cluster instead of the shard count.
+    val numShards = manifest.numShards
+    val rangesPerShard = wandFanoutRangesPerShard
+    val shardBounds = manifest.shardBounds
+    def shardLow(s: Int): Long =
+      math.max(0L, if (s == 0) Long.MinValue else shardBounds(s - 1))
+    def shardHigh(s: Int): Long =
+      if (s >= shardBounds.length) Long.MaxValue else shardBounds(s)
+    // [low, high) split into R slices; the last slice absorbs the remainder
+    def rangeOf(shard: Int, doc: Long): Int = {
+      if (rangesPerShard <= 1) return 0
+      val lo = shardLow(shard)
+      val span = shardHigh(shard) - lo
+      val width = math.max(1L, (if (span < 0) Long.MaxValue else span) / rangesPerShard)
+      math.min(rangesPerShard - 1, ((doc - lo) / width).toInt)
+    }
+    val rps = rangesPerShard
     val blocks = spark.read.parquet(s"$indexDir/postings")
       .where($"term".isin(present: _*))
-      .select($"shard", $"term", $"block", $"cnt", $"max_tf", $"min_dl", $"docs", $"tfs", $"dls")
-      .as[(Int, Long, Int, Int, Int, Int, Array[Byte], Array[Byte], Array[Byte])]
-      .repartition($"shard")
+      .select($"shard", $"term", $"block", $"cnt", $"max_tf", $"min_dl",
+        $"min_doc", $"max_doc", $"docs", $"tfs", $"dls")
+      .as[(Int, Long, Int, Int, Int, Int, Long, Long, Array[Byte], Array[Byte], Array[Byte])]
+      .flatMap { case (shard, term, block, cnt, maxTf, minDl, minDoc, maxDoc, d, t, l) =>
+        val r0 = rangeOf(shard, minDoc)
+        val r1 = rangeOf(shard, maxDoc)
+        (r0 to r1).iterator.map(r =>
+          (shard, r, term, block, cnt, maxTf, minDl, d, t, l))
+      }
+      .toDF("shard", "rng", "term", "block", "cnt", "max_tf", "min_dl", "docs", "tfs", "dls")
+      .repartition(math.max(numShards * rps, spark.sparkContext.defaultParallelism),
+        $"shard", $"rng")
+      .as[(Int, Int, Long, Int, Int, Int, Int, Array[Byte], Array[Byte], Array[Byte])]
+    val boundsB = spark.sparkContext.broadcast(shardBounds)
     blocks.mapPartitions { it =>
       val occ = qOccB.value
       val idfMap = idfB.value
@@ -197,16 +237,39 @@ final class Bm25Index(spark: SparkSession, val indexDir: String,
           if (a.score != b.score) java.lang.Float.compare(a.score, b.score)
           else java.lang.Long.compare(b.doc_id, a.doc_id)) // min-heap on (score, -doc_id)
 
-      // (shard, term) → blocks ordered by block index (doc-sorted stream)
-      val byShard = new java.util.HashMap[Int, java.util.HashMap[Long, java.util.ArrayList[(Int, Int, Int, Int, Array[Byte], Array[Byte], Array[Byte])]]]()
-      it.foreach { case (shard, term, block, cnt, maxTf, minDl, d, t, l) =>
-        byShard.computeIfAbsent(shard, _ => new java.util.HashMap())
+      // per-(shard, sub-range) doc bounds, recomputed from the broadcast
+      // shard bounds (pure function of (shard, rng))
+      val boundsArr = boundsB.value
+      def pShardLow(s: Int): Long =
+        math.max(0L, if (s == 0) Long.MinValue else boundsArr(s - 1))
+      def pShardHigh(s: Int): Long =
+        if (s >= boundsArr.length) Long.MaxValue else boundsArr(s)
+      def pRange(s: Int, r: Int): (Long, Long) = { // inclusive [lo, hi]
+        if (rps <= 1) return (Long.MinValue, Long.MaxValue)
+        val lo = pShardLow(s)
+        val span = pShardHigh(s) - lo
+        val width = math.max(1L, (if (span < 0) Long.MaxValue else span) / rps)
+        val a = lo + r.toLong * width
+        val b = if (r == rps - 1) Long.MaxValue else a + width - 1
+        (a, b)
+      }
+
+      // (shard, rng) → term → blocks ordered by block index
+      val byGroup = new java.util.HashMap[Long, java.util.HashMap[Long, java.util.ArrayList[(Int, Int, Int, Int, Array[Byte], Array[Byte], Array[Byte])]]]()
+      val groupRange = new java.util.HashMap[Long, (Long, Long)]()
+      it.foreach { case (shard, rng, term, block, cnt, maxTf, minDl, d, t, l) =>
+        val key = (shard.toLong << 32) | (rng.toLong & 0xFFFFFFFFL)
+        groupRange.computeIfAbsent(key, _ => pRange(shard, rng))
+        byGroup.computeIfAbsent(key, _ => new java.util.HashMap())
           .computeIfAbsent(term, _ => new java.util.ArrayList())
           .add((block, cnt, maxTf, minDl, d, t, l))
       }
 
-      /** Doc-sorted cursor over one term's block list with block-max skip. */
-      final class Cursor(val term: Long, blocksIn: java.util.ArrayList[(Int, Int, Int, Int, Array[Byte], Array[Byte], Array[Byte])]) {
+      /** Doc-sorted cursor over one term's block list with block-max skip,
+        * restricted to the group's inclusive doc range.
+        */
+      final class Cursor(val term: Long, rLo: Long, rHi: Long,
+                         blocksIn: java.util.ArrayList[(Int, Int, Int, Int, Array[Byte], Array[Byte], Array[Byte])]) {
         blocksIn.sort((a, b) => Integer.compare(a._1, b._1))
         val idf: Float = idfMap(term)
         val mult: Int = multMap.getOrElse(term, 1)
@@ -245,7 +308,13 @@ final class Bm25Index(spark: SparkSession, val indexDir: String,
               docs = PostingCodec.decodeDeltas(d, cnt)
               tfs = PostingCodec.decodeInts(t, cnt)
               dls = PostingCodec.decodeInts(l, cnt)
-              n = cnt; pos = 0; bi += 1
+              // trim to the group's doc range (docs are sorted)
+              var s = 0
+              while (s < cnt && docs(s) < rLo) s += 1
+              var e = cnt
+              while (e > s && docs(e - 1) > rHi) e -= 1
+              if (e <= s) { docs = null; bi += 1 } // block entirely outside
+              else { n = e; pos = s; bi += 1 }
             }
           }
         }
@@ -259,12 +328,13 @@ final class Bm25Index(spark: SparkSession, val indexDir: String,
         }
       }
 
-      val out = scala.collection.mutable.ArrayBuffer.empty[ScoredDoc]
-      val shards = byShard.entrySet().iterator()
-      while (shards.hasNext) {
-        val terms = shards.next().getValue
+      val groups = byGroup.entrySet().iterator()
+      while (groups.hasNext) {
+        val entry = groups.next()
+        val (rLo, rHi) = groupRange.get(entry.getKey)
+        val terms = entry.getValue
         val cursors = new java.util.ArrayList[Cursor]()
-        terms.forEach((term, bs) => cursors.add(new Cursor(term, bs)): Unit)
+        terms.forEach((term, bs) => cursors.add(new Cursor(term, rLo, rHi, bs)): Unit)
         var total = 0.0
         (0 until cursors.size).foreach(i => total += cursors.get(i).termBound)
         (0 until cursors.size).foreach { i =>

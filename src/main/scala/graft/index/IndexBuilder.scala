@@ -26,6 +26,7 @@ final case class ForwardRow(doc_id: Long, shard: Int, dl: Int, terms: Array[Long
   */
 final case class PostingBlock(shard: Int, term: Long, block: Int, cnt: Int,
                               max_tf: Int, min_dl: Int,
+                              min_doc: Long, max_doc: Long,
                               docs: Array[Byte], tfs: Array[Byte], dls: Array[Byte])
 
 final case class IndexBuildConfig(
@@ -347,6 +348,7 @@ object IndexBuilder {
         }
         val b = PostingBlock((skey >>> 32).toInt, skey & 0xFFFFFFFFL, blockNo, n,
           maxTf, minDl,
+          if (n > 0) docs(0) else 0L, if (n > 0) docs(n - 1) else 0L,
           PostingCodec.encodeDeltas(java.util.Arrays.copyOf(docs, n)),
           PostingCodec.encodeInts(java.util.Arrays.copyOf(tfs, n)),
           PostingCodec.encodeInts(java.util.Arrays.copyOf(dls, n)))

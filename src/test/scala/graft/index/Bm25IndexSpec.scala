@@ -60,6 +60,24 @@ class Bm25IndexSpec extends SparkTestBase {
     }
   }
 
+  test("WAND fan-out exceeds numShards and stays rank/bit-identical (range split)") {
+    // 4 sub-ranges per shard on a 4-shard index → 16 groups > 4 shards:
+    // query parallelism is no longer capped by the shard count.
+    val fanned = new Bm25Index(spark, indexDir, wandRangesPerShard = 4)
+    assert(fanned.wandFanoutRangesPerShard === 4)
+    assert(fanned.manifest.numShards * fanned.wandFanoutRangesPerShard >
+      fanned.manifest.numShards)
+    for (q <- Seq("merge join sort", "the fast key", "keys key"); k <- Seq(5, 20)) {
+      val ex = index.search(q, Some(k), mode = "exhaustive").collect()
+      val wd = fanned.search(q, Some(k), mode = "wand").collect()
+      assert(wd.map(_.doc_id).toSeq === ex.map(_.doc_id).toSeq, s"q='$q' k=$k ids")
+      wd.zip(ex).foreach { case (w, e) =>
+        assert(java.lang.Float.floatToRawIntBits(w.score) ===
+          java.lang.Float.floatToRawIntBits(e.score), s"q='$q' k=$k doc ${w.doc_id}")
+      }
+    }
+  }
+
   test("scoreDoc matches the search score for a hit, None for absent doc") {
     val q = "merge join sort"
     val top = index.search(q, Some(3)).collect()
