@@ -209,6 +209,42 @@ object OracleSql {
         |FROM bands GROUP BY band, bucket HAVING count(*) > 1
         |ORDER BY band, bucket""".stripMargin,
 
+    // 32-bit tf-weighted SimHash, bit-for-bit: the md5-prefix hash is
+    // re-parsed in SQL via strpos('0123456789abcdef', …) digit extraction,
+    // votes per bit via a 32-row range cross join.
+    "dedup_simhash" ->
+      """WITH w AS (
+        |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+        |  FROM documents
+        |), tf AS (
+        |  SELECT doc_id, word, count(*) AS tf FROM w GROUP BY doc_id, word
+        |), h AS (
+        |  SELECT doc_id, tf,
+        |    (strpos('0123456789abcdef', substr(md5(word), 1, 1)) - 1)::BIGINT * 268435456 +
+        |    (strpos('0123456789abcdef', substr(md5(word), 2, 1)) - 1)::BIGINT * 16777216 +
+        |    (strpos('0123456789abcdef', substr(md5(word), 3, 1)) - 1)::BIGINT * 1048576 +
+        |    (strpos('0123456789abcdef', substr(md5(word), 4, 1)) - 1)::BIGINT * 65536 +
+        |    (strpos('0123456789abcdef', substr(md5(word), 5, 1)) - 1)::BIGINT * 4096 +
+        |    (strpos('0123456789abcdef', substr(md5(word), 6, 1)) - 1)::BIGINT * 256 +
+        |    (strpos('0123456789abcdef', substr(md5(word), 7, 1)) - 1)::BIGINT * 16 +
+        |    (strpos('0123456789abcdef', substr(md5(word), 8, 1)) - 1)::BIGINT AS h
+        |  FROM tf
+        |), bits AS (
+        |  SELECT doc_id, i,
+        |    sum(CASE WHEN ((h >> i) & 1) = 1 THEN tf ELSE -tf END) AS vote
+        |  FROM h CROSS JOIN (SELECT unnest(range(0, 32)) AS i) r
+        |  GROUP BY doc_id, i
+        |), sim AS (
+        |  SELECT doc_id,
+        |    sum(CASE WHEN vote > 0 THEN (1::BIGINT << i) ELSE 0 END) AS simhash
+        |  FROM bits GROUP BY doc_id
+        |)
+        |SELECT d.doc_id,
+        |  coalesce(s.simhash, 0)::BIGINT AS simhash,
+        |  (coalesce(s.simhash, 0)::BIGINT >> 16) AS bucket
+        |FROM documents d LEFT JOIN sim s ON d.doc_id = s.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
     "dedup_embedding_cosine" -> {
       val bit = (p: Int) =>
         s"""(CASE WHEN list_sum(list_transform(range(1, len(v) + 1),

@@ -353,7 +353,9 @@ object Queries {
           s"CASE WHEN substring(md5(concat('rp:$p:', cast(d as string))), 1, 1) < '8' THEN x ELSE -x END), " +
           s"cast(0 as double), (s, x) -> s + x)") >= 0, lit("1")).otherwise(lit("0"))
       }
-      val withB = e.withColumn("bucket", concat(bitCols: _*))
+      // persist: both self-join legs share the 8 hyperplane projections
+      val withB = e.withColumn("bucket", concat(bitCols: _*)).persist()
+      withB.count()
       val a = withB.select($"bucket", $"vec_id".as("a"), $"v".as("va"))
       val b = withB.select($"bucket", $"vec_id".as("b"), $"v".as("vb"))
       a.join(b, Seq("bucket")).where($"a" < $"b")

@@ -138,6 +138,40 @@ class SearchEngineSpec extends SparkTestBase {
     assert(r1 === r2)
   }
 
+  test("distributed batch mutations (upsertBatch/removeBatch) ≡ fresh engine, bit-exact") {
+    import spark.implicits._
+    // Same shape as the per-doc delta test, but every mutation goes through
+    // the executor-side batch paths (no rows on the driver).
+    val base = Seq(
+      Doc("a", "spark shuffle join"), Doc("b", "shuffle sort merge"),
+      Doc("c", "join broadcast hash"), Doc("d", "window aggregate state"))
+    val eng = SearchEngine.open(spark, tmpDir("batch1"))
+    eng.upsertBatch(base.toDS())
+    eng.buildBase(graft.index.IndexBuildConfig(numShards = 2, shardGroups = 1))
+    val frozenAvgdl = eng.avgdl
+    eng.removeBatch(Seq("b").toDS())
+    eng.upsertBatch(Seq(Doc("e", "shuffle join window"),
+      Doc("a", "spark catalyst optimizer")).toDS())
+
+    val fresh = SearchEngine.withAvgdl(spark, tmpDir("batch2"), frozenAvgdl)
+    fresh.upsert(Seq(
+      Doc("a", "spark catalyst optimizer"),
+      Doc("c", "join broadcast hash"), Doc("d", "window aggregate state"),
+      Doc("e", "shuffle join window")))
+
+    for (q <- Seq("shuffle join", "spark", "window state", "merge")) {
+      val got = eng.search(q, None).sortBy(_.id)
+      val exp = fresh.search(q, None).sortBy(_.id)
+      assert(got.map(_.id) === exp.map(_.id), s"query '$q' ids")
+      got.zip(exp).foreach { case (g, e) =>
+        assert(java.lang.Float.floatToRawIntBits(g.score) ===
+          java.lang.Float.floatToRawIntBits(e.score), s"query '$q' doc ${g.id}")
+      }
+    }
+    assert(eng.count() === 4L)
+    assert(eng.get("b").isEmpty)
+  }
+
   test("delta mutations score exactly like a fresh engine on the live docs") {
     // Remove + upsert against a built base, then compare every score against
     // an engine built from scratch on the post-mutation corpus with the same

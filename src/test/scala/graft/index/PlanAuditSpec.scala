@@ -54,6 +54,17 @@ class PlanAuditSpec extends SparkTestBase {
     assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
   }
 
+  test("bucketed dedup joins plan as equi-joins — no cartesian/nested-loop product") {
+    // The r1 all-pairs embedding-cosine plan was a per-label blowup risk; the
+    // LSH-bucketed rewrite must join on the bucket key only.
+    val sf = "/root/testdata/sf0.001"
+    for (q <- Seq("dedup_embedding_cosine", "dedup_jaccard_block", "dedup_minhash_verified")) {
+      val plan = graft.Queries.all(q)(spark, sf).queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"$q plans a cartesian product:\n$plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"$q plans a nested-loop join:\n$plan")
+    }
+  }
+
   test("corpus scan for tokenization prunes to the needed columns") {
     val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .selectExpr("doc_id", "text")
