@@ -393,6 +393,7 @@ object Queries {
       import spark.implicits._
       val e = tbl(spark, sfDir, "embeddings")
         .select($"vec_id", expr("transform(embedding, x -> cast(x as double))").as("v"))
+        .persist() // scanned once per Lloyd round + twice after
       val k = 16
       val nprobe = 4
       def cos(a: Array[Double], b: Array[Double]): Double = {

@@ -194,9 +194,6 @@ final class SearchEngine private[api] (
 
   // ----------------------------------------------------------------- search
 
-  /** Top-`limit` search ((score desc, key asc)-deterministic; `None` returns
-    * every doc sharing ≥1 query term, like the reference's unlimited mode).
-    */
   /** The live-view query state for a set of distinct query terms: all
     * postings of live documents matching any term (base minus superseded,
     * plus executor-embedded deltas), and the live document count N.
@@ -229,6 +226,9 @@ final class SearchEngine private[api] (
     (baseFiltered.union(deltaCands), nLive)
   }
 
+  /** Top-`limit` search ((score desc, key asc)-deterministic; `None` returns
+    * every doc sharing ≥1 query term, like the reference's unlimited mode).
+    */
   def search(query: String, limit: Option[Int] = None): Seq[SearchResult] = {
     val qOcc = tokenizer.tokenize(query).map(FxHash.hash32u)
     if (qOcc.isEmpty) return Seq.empty
@@ -264,11 +264,13 @@ final class SearchEngine private[api] (
       val hits = limit.map(sorted.limit).getOrElse(sorted).as[ScoredDoc].collect()
       if (hits.isEmpty) return Seq.empty
 
-      val ids = hits.map(_.doc_id)
+      // broadcast semi-join, not isin: an unlimited search can return many
+      // ids and a literal In list would blow up the plan
+      val idsDf = spark.createDataset(hits.map(_.doc_id).toSeq).toDF("doc_id")
       val contents = liveDocs.mapPartitions { it =>
         it.map(d => (FxHash.hash64(d.id) & Long.MaxValue, d.id, d.contents))
       }.toDF("doc_id", "key", "contents")
-        .where($"doc_id".isin(ids.map(Long.box): _*))
+        .join(broadcast(idsDf), Seq("doc_id"), "left_semi")
         .as[(Long, String, String)].collect()
         .map(r => r._1 -> (r._2, r._3)).toMap
 

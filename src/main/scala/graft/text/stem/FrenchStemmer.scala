@@ -197,32 +197,32 @@ object FrenchStemmer extends Stemmer {
         j += 1
       }
       val removed2a = sb.length != before
-      // ---- step 2b (only if 2a removed nothing) --------------------------
+      // ---- step 2b (only if 2a removed nothing): LONGEST match across the
+      // three suffix classes (ions ∈ R2-delete; group b ∈ RV-delete;
+      // group c ∈ RV-delete + preceding e) ---------------------------------
       if (!removed2a) {
         val before2b = sb.length
-        if (ends("ions") && inR2(4)) chop(4)
-        else {
-          var m = 0
-          var hit = false
-          while (!hit && m < step2bRV.length) {
-            val s = step2bRV(m)
-            if (ends(s)) {
-              hit = true
-              if (inRV(s.length)) chop(s.length)
-            }
-            m += 1
-          }
-          m = 0
-          while (!hit && m < step2bE.length) {
-            val s = step2bE(m)
-            if (ends(s)) {
-              hit = true
-              if (inRV(s.length)) {
-                chop(s.length)
-                if (ends("e") && inRV(1)) chop(1)
-              }
-            }
-            m += 1
+        var best: String = null
+        var kind = 0 // 0 = ions, 1 = RV-delete, 2 = RV-delete + e
+        if (ends("ions")) { best = "ions"; kind = 0 }
+        var m = 0
+        while (m < step2bRV.length) {
+          val s = step2bRV(m)
+          if ((best == null || s.length > best.length) && ends(s)) { best = s; kind = 1 }
+          m += 1
+        }
+        m = 0
+        while (m < step2bE.length) {
+          val s = step2bE(m)
+          if ((best == null || s.length > best.length) && ends(s)) { best = s; kind = 2 }
+          m += 1
+        }
+        if (best != null) kind match {
+          case 0 => if (inR2(4)) chop(4)
+          case 1 => if (inRV(best.length)) chop(best.length)
+          case 2 => if (inRV(best.length)) {
+            chop(best.length)
+            if (ends("e") && inRV(1)) chop(1)
           }
         }
         lastAltered = sb.length != before2b
