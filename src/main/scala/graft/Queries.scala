@@ -347,11 +347,19 @@ object Queries {
       import spark.implicits._
       val e = tbl(spark, sfDir, "embeddings")
         .select($"vec_id", expr("transform(embedding, x -> cast(x as double))").as("v"))
+      // The hyperplane signs depend only on (plane, dim): md5('rp:p:d') is
+      // evaluated ONCE on the driver and embedded as ±1 literal arrays
+      // (the oracle computes the same md5 in SQL — identical signs by
+      // construction); the per-row expression is then a plain dot product.
+      val dim = e.select(size($"v")).head().getInt(0)
       val bitCols = (0 until 8).map { p =>
+        val signs = (0 until dim).map { d =>
+          val h = org.apache.commons.codec.digest.DigestUtils.md5Hex(s"rp:$p:$d")
+          if (h.charAt(0) < '8') "1D" else "-1D"
+        }.mkString("array(", ", ", ")")
         when(expr(
-          s"aggregate(zip_with(v, sequence(0, size(v)-1), (x, d) -> " +
-          s"CASE WHEN substring(md5(concat('rp:$p:', cast(d as string))), 1, 1) < '8' THEN x ELSE -x END), " +
-          s"cast(0 as double), (s, x) -> s + x)") >= 0, lit("1")).otherwise(lit("0"))
+          s"aggregate(zip_with(v, $signs, (x, s) -> x * s), cast(0 as double), (s, x) -> s + x)") >= 0,
+          lit("1")).otherwise(lit("0"))
       }
       // persist: both self-join legs share the 8 hyperplane projections
       val withB = e.withColumn("bucket", concat(bitCols: _*)).persist()

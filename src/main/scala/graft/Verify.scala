@@ -20,7 +20,10 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      } finally spark.catalog.clearCache() // per-query persists don't pile up
+      }
+      // NOTE: catalog queries persist small shared projections (minhash
+      // signatures, shingle sets) that later queries reuse — intentionally
+      // NOT cleared between queries.
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -87,6 +87,25 @@ class MultiLangStemmerSpec extends AnyFunSuite {
         assert(s.stem(w) === w, s"$s should not touch ASCII '$w'")
   }
 
+  test("robustness sweep: every stemmer is total on adversarial inputs") {
+    val stemmers = Seq[Stemmer](DanishStemmer, NorwegianStemmer, SwedishStemmer,
+      DutchStemmer, FrenchStemmer, SpanishStemmer, ItalianStemmer,
+      PortugueseStemmer, RussianStemmer, RomanianStemmer, HungarianStemmer,
+      TurkishStemmer, GreekStemmer, ArabicStemmer, TamilStemmer,
+      EnglishStemmer, GermanStemmer)
+    val rnd = new scala.util.Random(42)
+    val inputs = Seq("", "a", "ab", "ß", "é", "aaaaaaa", "qqqqq", "ement",
+      "ions", "ийи", "ώς", "ةة", "ிி", "y", "uu", "x" * 100) ++
+      Seq.fill(300)(rnd.alphanumeric.take(1 + rnd.nextInt(15)).mkString.toLowerCase) ++
+      Seq.fill(100)((1 to (1 + rnd.nextInt(8))).map(_ =>
+        (0x20 + rnd.nextInt(0x2500)).toChar).mkString.toLowerCase)
+    for (s <- stemmers; w <- inputs) {
+      val out = s.stem(w) // must never throw
+      assert(out != null)
+      assert(out.length <= w.length + 4, s"$s grew '$w' to '$out'") // heid/iqU rewrites bound
+    }
+  }
+
   test("all 17 languages route to a stemmer and stem without error") {
     val words = Seq("continuellement", "abbandonata", "bilarna", "gatos",
       "huset", "boeken", "словами", "βιβλία", "كتابها", "evlerinden",
