@@ -215,15 +215,16 @@ final class Bm25Index(spark: SparkSession, val indexDir: String,
         $"min_doc", $"max_doc", $"docs", $"tfs", $"dls")
       .as[(Int, Long, Int, Int, Int, Int, Long, Long, Array[Byte], Array[Byte], Array[Byte])]
       .flatMap { case (shard, term, block, cnt, maxTf, minDl, minDoc, maxDoc, d, t, l) =>
+        val _ = block // block ids are per build-slice; readers order by min_doc
         val r0 = rangeOf(shard, minDoc)
         val r1 = rangeOf(shard, maxDoc)
         (r0 to r1).iterator.map(r =>
-          (shard, r, term, block, cnt, maxTf, minDl, d, t, l))
+          (shard, r, term, minDoc, cnt, maxTf, minDl, d, t, l))
       }
-      .toDF("shard", "rng", "term", "block", "cnt", "max_tf", "min_dl", "docs", "tfs", "dls")
+      .toDF("shard", "rng", "term", "min_doc", "cnt", "max_tf", "min_dl", "docs", "tfs", "dls")
       .repartition(math.max(numShards * rps, spark.sparkContext.defaultParallelism),
         $"shard", $"rng")
-      .as[(Int, Int, Long, Int, Int, Int, Int, Array[Byte], Array[Byte], Array[Byte])]
+      .as[(Int, Int, Long, Long, Int, Int, Int, Array[Byte], Array[Byte], Array[Byte])]
     val boundsB = spark.sparkContext.broadcast(shardBounds)
     blocks.mapPartitions { it =>
       val occ = qOccB.value
@@ -255,22 +256,24 @@ final class Bm25Index(spark: SparkSession, val indexDir: String,
       }
 
       // (shard, rng) → term → blocks ordered by block index
-      val byGroup = new java.util.HashMap[Long, java.util.HashMap[Long, java.util.ArrayList[(Int, Int, Int, Int, Array[Byte], Array[Byte], Array[Byte])]]]()
+      val byGroup = new java.util.HashMap[Long, java.util.HashMap[Long, java.util.ArrayList[(Long, Int, Int, Int, Array[Byte], Array[Byte], Array[Byte])]]]()
       val groupRange = new java.util.HashMap[Long, (Long, Long)]()
-      it.foreach { case (shard, rng, term, block, cnt, maxTf, minDl, d, t, l) =>
+      it.foreach { case (shard, rng, term, minDoc, cnt, maxTf, minDl, d, t, l) =>
         val key = (shard.toLong << 32) | (rng.toLong & 0xFFFFFFFFL)
         groupRange.computeIfAbsent(key, _ => pRange(shard, rng))
         byGroup.computeIfAbsent(key, _ => new java.util.HashMap())
           .computeIfAbsent(term, _ => new java.util.ArrayList())
-          .add((block, cnt, maxTf, minDl, d, t, l))
+          .add((minDoc, cnt, maxTf, minDl, d, t, l))
       }
 
       /** Doc-sorted cursor over one term's block list with block-max skip,
         * restricted to the group's inclusive doc range.
         */
       final class Cursor(val term: Long, rLo: Long, rHi: Long,
-                         blocksIn: java.util.ArrayList[(Int, Int, Int, Int, Array[Byte], Array[Byte], Array[Byte])]) {
-        blocksIn.sort((a, b) => Integer.compare(a._1, b._1))
+                         blocksIn: java.util.ArrayList[(Long, Int, Int, Int, Array[Byte], Array[Byte], Array[Byte])]) {
+        // blocks of one (shard, term) have disjoint doc ranges; min_doc
+        // orders them even when slices were built by different tasks
+        blocksIn.sort((a, b) => java.lang.Long.compare(a._1, b._1))
         val idf: Float = idfMap(term)
         val mult: Int = multMap.getOrElse(term, 1)
         // partition-wide bound for this term (residual for others' skips),

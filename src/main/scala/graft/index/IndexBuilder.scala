@@ -36,6 +36,11 @@ final case class IndexBuildConfig(
     shardGroups: Int = 4, // checkpoint granularity for the postings stage
     saltBuckets: Int = 16, // two-phase (salted) df aggregation fan-out
     postingTasks: Int = 0, // shuffle tasks for the postings stage (0 = 3x parallelism)
+    // escape valve for pathologically hot terms: split each (shard,
+    // term-prefix) merge group into 2^k doc-range slices so no reduce task
+    // ever has to hold one term's whole encoded posting list (~10 B × df).
+    // Blocks stay doc-disjoint per (shard, term); readers order by min_doc.
+    buildRangeBits: Int = 0,
     // doc ids that are hash surrogates are uniform in [0, Long.MaxValue]:
     // range bounds are then analytic (no quantile job over the corpus)
     uniformIdSpace: Boolean = false
@@ -257,10 +262,17 @@ object IndexBuilder {
     val bucketsPerShard = Integer.highestOneBit(
       math.max(1, numPostingTasks * 2 / math.max(cfg.numShards, 1)))
     val prefixBits = Integer.numberOfTrailingZeros(bucketsPerShard)
-    def pkeyOf(skey: Long): Int = {
+    // optional doc-range slicing (see IndexBuildConfig.buildRangeBits): a
+    // group key gains the doc id's top bits, so one term's postings can
+    // spread over 2^k merge tasks; each slice emits its own doc-disjoint
+    // blocks and readers order blocks by min_doc, not block index
+    val rangeBits = math.max(0, math.min(cfg.buildRangeBits, 20))
+    def pkeyOf(skey: Long, doc: Long): Int = {
       val shard = (skey >>> 32).toInt
       val term = skey & 0xFFFFFFFFL
-      shard * bucketsPerShard + (term >>> (32 - prefixBits)).toInt
+      val group = shard * bucketsPerShard + (term >>> (32 - prefixBits)).toInt
+      if (rangeBits == 0) group
+      else (group << rangeBits) | ((doc >>> (63 - rangeBits)) & ((1 << rangeBits) - 1)).toInt
     }
     val packed = rows.select(
       (shiftleft($"shard".cast("long"), 32) + $"term".cast("long")).as("skey"),

@@ -25,7 +25,7 @@ package graft.index
 private[index] object PostingRuns {
 
   /** Buffered map-side collector: sort (skey, doc) → split by pkey → encode. */
-  final class RunBuffer(capacity: Int, pkeyOf: Long => Int) {
+  final class RunBuffer(capacity: Int, pkeyOf: (Long, Long) => Int) {
     private val skeys = new Array[Long](capacity)
     private val docs = new Array[Long](capacity)
     private val tfdls = new Array[Long](capacity)
@@ -44,11 +44,11 @@ private[index] object PostingRuns {
       val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Array[Byte])]
       var i = 0
       while (i < n) {
-        val pkey = pkeyOf(skeys(i))
+        val pkey = pkeyOf(skeys(i), docs(i))
         val bos = new java.io.ByteArrayOutputStream(1024)
         var prevSkey = 0L
         // encode all consecutive groups sharing this pkey
-        while (i < n && pkeyOf(skeys(i)) == pkey) {
+        while (i < n && pkeyOf(skeys(i), docs(i)) == pkey) {
           val skey = skeys(i)
           var j = i
           while (j < n && skeys(j) == skey) j += 1

@@ -113,6 +113,49 @@ class Bm25IndexSpec extends SparkTestBase {
     assert(hits.length === 1 && hits.head.doc_id === 1L && hits.head.score > 0f)
   }
 
+  test("doc-range-sliced merge (buildRangeBits) ≡ unsliced build, bit-exact") {
+    // The hot-term escape valve: slicing each merge group by doc-id top bits
+    // means no reduce task holds a whole posting list; blocks are then
+    // emitted per slice and readers order by min_doc. Ids must span the id
+    // space for slices to actually split.
+    val words = Seq("merge", "join", "sort", "spark", "key", "fast", "scan", "row")
+    val docs0 = (0 until 400).map { i =>
+      val rnd = new scala.util.Random(i)
+      CorpusDoc(i.toLong * (Long.MaxValue / 401),
+        Seq.fill(6 + rnd.nextInt(10))(words(rnd.nextInt(words.length))).mkString(" "))
+    }
+    val plain = tmpDir("rb_plain")
+    val sliced = tmpDir("rb_sliced")
+    IndexBuilder.build(spark, spark.createDataset(docs0), Bm25Tokenizer.default, plain,
+      IndexBuildConfig(numShards = 4, shardGroups = 1, uniformIdSpace = true))
+    IndexBuilder.build(spark, spark.createDataset(docs0), Bm25Tokenizer.default, sliced,
+      IndexBuildConfig(numShards = 4, shardGroups = 1, uniformIdSpace = true, buildRangeBits = 3))
+
+    def decoded(dir: String): Seq[(Int, Long, Long, Int, Int)] =
+      spark.read.parquet(s"$dir/postings")
+        .select($"shard", $"term", $"cnt", $"docs", $"tfs", $"dls")
+        .as[(Int, Long, Int, Array[Byte], Array[Byte], Array[Byte])]
+        .flatMap { case (s, t, c, d, tf, dl) =>
+          val ds = PostingCodec.decodeDeltas(d, c)
+          val tfs = PostingCodec.decodeInts(tf, c)
+          val dls = PostingCodec.decodeInts(dl, c)
+          Iterator.tabulate(c)(i => (s, t, ds(i), tfs(i), dls(i)))
+        }.collect().sorted.toSeq
+    assert(decoded(sliced) === decoded(plain))
+
+    val ip = new Bm25Index(spark, plain)
+    val is = new Bm25Index(spark, sliced)
+    for (q <- Seq("merge join", "spark fast key", "sort sort row"); k <- Seq(5, 20)) {
+      val a = ip.search(q, Some(k), "wand").collect()
+      val b = is.search(q, Some(k), "wand").collect()
+      assert(a.map(_.doc_id).toSeq === b.map(_.doc_id).toSeq, s"q='$q'")
+      a.zip(b).foreach { case (x, y) =>
+        assert(java.lang.Float.floatToRawIntBits(x.score) ===
+          java.lang.Float.floatToRawIntBits(y.score), s"q='$q' doc ${x.doc_id}")
+      }
+    }
+  }
+
   test("df from termstats equals live distinct count from postings") {
     val terms = index.queryTerms("merge join").distinct
     val dfs = index.termDfs(terms)

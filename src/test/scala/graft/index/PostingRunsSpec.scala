@@ -11,7 +11,7 @@ import scala.util.Random
 class PostingRunsSpec extends AnyFunSuite {
 
   private def roundTrip(postings: Seq[(Long, Long, Int, Int)],
-                        capacity: Int, pkeyOf: Long => Int): Seq[(Int, Seq[(Long, Long, Int, Int)])] = {
+                        capacity: Int, pkeyOf: (Long, Long) => Int): Seq[(Int, Seq[(Long, Long, Int, Int)])] = {
     val buf = new PostingRuns.RunBuffer(capacity, pkeyOf)
     val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Array[Byte])]
     postings.foreach { case (skey, doc, tf, dl) =>
@@ -33,13 +33,13 @@ class PostingRunsSpec extends AnyFunSuite {
       ((rnd.nextInt(8).toLong << 32) | rnd.nextInt(1000).toLong,
         rnd.nextLong(1L << 40), 1 + rnd.nextInt(64), 1 + rnd.nextInt(4096))
     }.distinctBy(p => (p._1, p._2)) // one (term, doc) pair per posting
-    val pkeyOf = (skey: Long) => ((skey >>> 32) % 4).toInt
+    val pkeyOf = (skey: Long, _: Long) => ((skey >>> 32) % 4).toInt
     val chunks = roundTrip(postings, capacity = 257, pkeyOf)
 
     // every chunk is internally sorted and routed to its pkey
     chunks.foreach { case (pkey, ps) =>
       assert(ps.map(p => (p._1, p._2)) === ps.map(p => (p._1, p._2)).sorted, "chunk unsorted")
-      ps.foreach(p => assert(pkeyOf(p._1) === pkey, "posting in wrong pkey chunk"))
+      ps.foreach(p => assert(pkeyOf(p._1, p._2) === pkey, "posting in wrong pkey chunk"))
     }
     // the union of all chunks is exactly the input multiset
     val all = chunks.flatMap(_._2)
@@ -52,7 +52,7 @@ class PostingRunsSpec extends AnyFunSuite {
       ((rnd.nextInt(2).toLong << 32) | rnd.nextInt(50).toLong,
         rnd.nextLong(1L << 30), 1 + rnd.nextInt(9), 1 + rnd.nextInt(99))
     }.distinctBy(p => (p._1, p._2))
-    val chunks = roundTrip(postings, capacity = 64, pkeyOf = _ => 0)
+    val chunks = roundTrip(postings, capacity = 64, pkeyOf = (_, _) => 0)
     val pq = new java.util.PriorityQueue[PostingRuns.RunCursor](
       math.max(1, chunks.size),
       (a: PostingRuns.RunCursor, b: PostingRuns.RunCursor) => {
@@ -61,7 +61,7 @@ class PostingRunsSpec extends AnyFunSuite {
       })
     chunks.foreach { case (_, ps) =>
       // re-encode each decoded chunk through a fresh buffer to get cursors
-      val buf = new PostingRuns.RunBuffer(ps.size, _ => 0)
+      val buf = new PostingRuns.RunBuffer(ps.size, (_, _) => 0)
       ps.foreach(p => buf.add(p._1, p._2, p._3, p._4))
       buf.flush().foreach { case (_, bytes) =>
         val c = new PostingRuns.RunCursor(bytes)
@@ -78,9 +78,9 @@ class PostingRunsSpec extends AnyFunSuite {
   }
 
   test("empty buffer, single posting, and max-value edges") {
-    val one = roundTrip(Seq((5L << 32 | 42L, Long.MaxValue - 1, Int.MaxValue, 1)), 8, _ => 3)
+    val one = roundTrip(Seq((5L << 32 | 42L, Long.MaxValue - 1, Int.MaxValue, 1)), 8, (_, _) => 3)
     assert(one === Seq((3, Seq((5L << 32 | 42L, Long.MaxValue - 1, Int.MaxValue, 1)))))
-    val buf = new PostingRuns.RunBuffer(4, _ => 0)
+    val buf = new PostingRuns.RunBuffer(4, (_, _) => 0)
     assert(buf.flush().isEmpty)
   }
 }
