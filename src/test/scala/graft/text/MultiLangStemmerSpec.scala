@@ -54,14 +54,18 @@ class MultiLangStemmerSpec extends AnyFunSuite {
       "gatos" -> "gat",
       "canciones" -> "cancion",
       "importante" -> "import",
-      "trabajando" -> "trabaj")
+      "trabajando" -> "trabaj",
+      "cantaríamos" -> "cant")          // aríamos verb suffix in RV
   }
 
   test("French golden vectors") {
     check(FrenchStemmer,
       "continuellement" -> "continuel", // ement in RV + step-5 undouble ell
       "animaux" -> "animal",            // aux → al in R1
-      "majestueux" -> "majestu")        // eux deleted in R2
+      "majestueux" -> "majestu",        // eux deleted in R2
+      "donner" -> "don",                // er in RV + step-5 undouble onn
+      "donnerions" -> "don",            // erions (2b longest match) + undouble
+      "aimerions" -> "aim")             // erions must beat the shorter ions
   }
 
   test("Italian golden vectors") {
