@@ -71,12 +71,15 @@ class MultiLangStemmerSpec extends AnyFunSuite {
   test("Italian golden vectors") {
     check(ItalianStemmer,
       "abbandonata" -> "abbandon",
-      "pericolosa" -> "pericol")
+      "pericolosa" -> "pericol",
+      "cantava" -> "cant",              // ava verb suffix in RV
+      "lavoratore" -> "lavor")          // atore in R2
   }
 
   test("Portuguese golden vectors") {
     check(PortugueseStemmer,
-      "bonita" -> "bonit")              // residual a in RV
+      "bonita" -> "bonit",              // residual a in RV
+      "trabalhadores" -> "trabalh")     // adores in R2
   }
 
   test("Russian golden vectors (Cyrillic — fires only without normalization)") {
