@@ -59,13 +59,20 @@ object Bench {
     Queries.lifecycleEngine(spark, sfDir, compacted = true)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-      catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      // a failing query is REPORTED, never silently timed as ~0 s
+      val err: Option[String] =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
+        catch { case e: Throwable => Some(e.getClass.getSimpleName + ": " + String.valueOf(e.getMessage).take(120)) }
+      (name, (System.nanoTime() - t0) / 1e9, err)
     }
-    val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }.mkString("{", ",", "}")
+    val qs = results.map { case (k, v, _) => "\"" + k + f"""\":$v%.3f""" }.mkString("{", ",", "}")
+    val errs = results.collect { case (k, _, Some(e)) =>
+      "\"" + k + "\":\"" + e.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    }.mkString("{", ",", "}")
     val total = buildSec + results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":$cpus,"build_sec":$buildSec%.3f,"build_docs_per_sec":$docsPerSec%.1f,"build_postings_per_sec":$postingsPerSec%.1f,"query_p50_ms":${pct(0.5)}%.1f,"query_p95_ms":${pct(0.95)}%.1f,"n_docs":${manifest.nDocs}}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","cpus":$cpus,"build_sec":$buildSec%.3f,"build_docs_per_sec":$docsPerSec%.1f,"build_postings_per_sec":$postingsPerSec%.1f,"query_p50_ms":${pct(0.5)}%.1f,"query_p95_ms":${pct(0.95)}%.1f,"n_docs":${manifest.nDocs}}""")
+    if (results.exists(_._3.isDefined))
+      System.err.println("BENCH ERRORS: " + errs)
     spark.stop()
   }
 }

@@ -17,10 +17,11 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Queries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
-    * same parquet tables. Omitted for the non-SQL-expressible ops
-    * (ft_search_real — Snowball/f32; dedup_simhash — bit ops; sim_ann_ivf —
-    * centroid state), which the driver checks rows-only and the sbt suite
-    * gates bit-exactly against the reference snapshots.
+    * same parquet tables. Omitted only for the two non-SQL-expressible ops
+    * (ft_search_real — Snowball/f32, snapshot-gated in sbt; sim_ann_ivf —
+    * centroid state, recall-gated in AnnRecallSpec), which the driver checks
+    * rows-only. Everything else — including dedup_simhash (bit-exact via
+    * hex-digit parsing in DuckDB) — is value-checked by the oracle.
     */
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -171,6 +171,14 @@ object IndexBuilder {
         if (n.has("blocks")) {
           encBlocks += n.get("blocks").asLong(); encBytes += n.get("bytes").asLong()
           encPostings += n.get("postings").asLong()
+        } else {
+          // checkpoint predates the metrics keys: recompute from the durable
+          // group output instead of silently reporting 0
+          val m = spark.read.parquet(s"$postingsPath/group=$g")
+            .agg(count(lit(1)),
+              coalesce(sum(length($"docs") + length($"tfs") + length($"dls")), lit(0L)),
+              coalesce(sum($"cnt".cast("long")), lit(0L))).head()
+          encBlocks += m.getLong(0); encBytes += m.getLong(1); encPostings += m.getLong(2)
         }
       } else {
         val t = System.nanoTime()
@@ -219,7 +227,7 @@ object IndexBuilder {
     val metrics = computeMetrics(spark, termstatsPath, nDocs, seconds,
       encBlocks, encBytes, encPostings)
     val manifest = IndexManifest(
-      version = 1,
+      version = IndexManifest.CurrentVersion,
       numShards = cfg.numShards,
       blockSize = cfg.blockSize,
       termBuckets = cfg.termBuckets,
@@ -267,21 +275,17 @@ object IndexBuilder {
     // spread over 2^k merge tasks; each slice emits its own doc-disjoint
     // blocks and readers order blocks by min_doc, not block index
     val rangeBits = math.max(0, math.min(cfg.buildRangeBits, 20))
-    def pkeyOf(skey: Long, doc: Long): Int = {
-      val shard = (skey >>> 32).toInt
-      val term = skey & 0xFFFFFFFFL
-      val group = shard * bucketsPerShard + (term >>> (32 - prefixBits)).toInt
-      if (rangeBits == 0) group
-      else (group << rangeBits) | ((doc >>> (63 - rangeBits)) & ((1 << rangeBits) - 1)).toInt
-    }
+    // shard and term travel as SEPARATE fields: the 64-bit term hash (fx64 /
+    // custom hashers) round-trips exactly — never packed into a shared long
     val packed = rows.select(
-      (shiftleft($"shard".cast("long"), 32) + $"term".cast("long")).as("skey"),
+      $"shard".cast("int").as("shard"),
+      $"term".cast("long").as("term"),
       $"doc_id".cast("long").as("doc_id"),
       $"tf".cast("int"), $"dl".cast("int"))
 
     // map side: buffer → local sort → encoded chunks
     val chunkRdd = packed.queryExecution.toRdd.mapPartitions { it =>
-      val buf = new PostingRuns.RunBuffer(1 << 19, pkeyOf)
+      val buf = new PostingRuns.RunBuffer(1 << 19, bucketsPerShard, prefixBits, rangeBits)
       new Iterator[(Int, Array[Byte])] {
         private var pending: Iterator[(Int, Array[Byte])] = Iterator.empty
         @annotation.tailrec
@@ -290,7 +294,7 @@ object IndexBuilder {
             if (it.hasNext) {
               while (it.hasNext && !buf.isFull) {
                 val r = it.next()
-                buf.add(r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3))
+                buf.add(r.getInt(0), r.getLong(1), r.getLong(2), r.getInt(3), r.getInt(4))
               }
               pending = buf.flush()
               refill()
@@ -303,54 +307,58 @@ object IndexBuilder {
     val shuffled = spark.createDataset(chunkRdd).toDF("pkey", "chunk")
       .repartition(numPostingTasks, $"pkey")
 
-    val blocksAcc = spark.sparkContext.longAccumulator("postingBlocks")
-    val bytesAcc = spark.sparkContext.longAccumulator("postingBytes")
-    val postingsAcc = spark.sparkContext.longAccumulator("postings")
     val blockSize = cfg.blockSize
     // reduce side: k-way merge of chunk cursors → streaming block encoder
     val blockRdd = shuffled.queryExecution.toRdd.mapPartitions { it =>
       val pq = new java.util.PriorityQueue[PostingRuns.RunCursor](64,
-        (a: PostingRuns.RunCursor, b: PostingRuns.RunCursor) => {
-          val c = java.lang.Long.compare(a.skey, b.skey)
-          if (c != 0) c else java.lang.Long.compare(a.doc, b.doc)
-        })
+        (a: PostingRuns.RunCursor, b: PostingRuns.RunCursor) =>
+          PostingRuns.compareCursors(a, b))
       it.foreach { r =>
-        val c = new PostingRuns.RunCursor(r.getBinary(1))
+        val c = new PostingRuns.RunCursor(r.getBinary(1), prefixBits)
         if (c.advance()) pq.add(c)
       }
-      mergeToBlocks(pq, blockSize).map { b =>
-        blocksAcc.add(1L)
-        bytesAcc.add(b.docs.length.toLong + b.tfs.length + b.dls.length)
-        postingsAcc.add(b.cnt.toLong)
-        b
-      }
+      mergeToBlocks(pq, blockSize)
     }
     spark.createDataset(blockRdd)
       .write.mode(SaveMode.Overwrite).parquet(outPath)
-    (blocksAcc.value, bytesAcc.value, postingsAcc.value)
+    // metrics from the WRITTEN parquet (not accumulators): task retries /
+    // speculative attempts cannot double-count, and a resumed build can
+    // always recompute them from the durable output
+    val m = spark.read.parquet(outPath)
+      .agg(count(lit(1)),
+        coalesce(sum(length($"docs") + length($"tfs") + length($"dls")), lit(0L)),
+        coalesce(sum($"cnt".cast("long")), lit(0L))).head()
+    (m.getLong(0), m.getLong(1), m.getLong(2))
   }
 
-  /** Streaming block builder over the cursor heap: pops (skey, doc)-ordered
-    * postings, groups runs of one (shard, term), emits ≤blockSize blocks.
+  /** Streaming block builder over the cursor heap: pops (shard, term, doc)-
+    * ordered postings, groups runs of one (shard, term), emits ≤blockSize
+    * blocks. The term keeps its full 64 bits.
     */
   private def mergeToBlocks(pq: java.util.PriorityQueue[PostingRuns.RunCursor],
                             blockSize: Int): Iterator[PostingBlock] =
     new Iterator[PostingBlock] {
-      private var curSkey = -1L
+      private var curShard = -1
+      private var curTerm = 0L
+      private var haveCur = false
       private var blockNo = 0
 
       def hasNext: Boolean = !pq.isEmpty
 
       def next(): PostingBlock = {
-        val skey = pq.peek().skey
-        if (skey != curSkey) { curSkey = skey; blockNo = 0 }
+        val shard = pq.peek().shard
+        val term = pq.peek().term
+        if (!haveCur || shard != curShard || term != curTerm) {
+          curShard = shard; curTerm = term; haveCur = true; blockNo = 0
+        }
         val docs = new Array[Long](blockSize)
         val tfs = new Array[Int](blockSize)
         val dls = new Array[Int](blockSize)
         var n = 0
         var maxTf = 0
         var minDl = Int.MaxValue
-        while (n < blockSize && !pq.isEmpty && pq.peek().skey == skey) {
+        while (n < blockSize && !pq.isEmpty &&
+               pq.peek().shard == shard && pq.peek().term == term) {
           val c = pq.poll()
           docs(n) = c.doc; tfs(n) = c.tf; dls(n) = c.dl
           if (c.tf > maxTf) maxTf = c.tf
@@ -358,7 +366,7 @@ object IndexBuilder {
           n += 1
           if (c.advance()) pq.add(c)
         }
-        val b = PostingBlock((skey >>> 32).toInt, skey & 0xFFFFFFFFL, blockNo, n,
+        val b = PostingBlock(shard, term, blockNo, n,
           maxTf, minDl,
           if (n > 0) docs(0) else 0L, if (n > 0) docs(n - 1) else 0L,
           PostingCodec.encodeDeltas(java.util.Arrays.copyOf(docs, n)),

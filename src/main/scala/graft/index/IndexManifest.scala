@@ -31,6 +31,10 @@ final case class IndexManifest(
     lineage: Map[String, String],
     metrics: Map[String, Double]
 ) {
+  require(version == IndexManifest.CurrentVersion,
+    s"index format version $version is not supported (current: " +
+      s"${IndexManifest.CurrentVersion}) — rebuild the index with this library version")
+
   /** Range shard for a doc id (binary search over recorded bounds). */
   def shardOf(docId: Long): Int = {
     var lo = 0
@@ -42,12 +46,28 @@ final case class IndexManifest(
     lo
   }
 
-  def bucketOf(term: Long): Int = (term % termBuckets).toInt
+  /** Termstats bucket — MUST match the builder's `pmod` (non-negative even
+    * for negative 64-bit term hashes from custom hashers).
+    */
+  def bucketOf(term: Long): Int = {
+    val m = (term % termBuckets).toInt
+    if (m < 0) m + termBuckets else m
+  }
 
   def write(indexDir: String): Unit = IndexManifest.write(this, indexDir)
 }
 
 object IndexManifest {
+  /** On-disk index format version. History:
+    *   1 — round-1 layout (no min_doc/max_doc on posting blocks)
+    *   2 — round-2: block-max WAND columns min_doc/max_doc required by reads
+    *   3 — round-3: full-64-bit-term run chunks; blocks/termstats unchanged
+    *       on disk but builds are only byte-reproducible within one version
+    * Readers fail fast on any mismatch (no silent AnalysisException deep in
+    * a query against an old index).
+    */
+  val CurrentVersion = 3
+
   private val mapper = new ObjectMapper()
 
   def write(m: IndexManifest, indexDir: String): Unit = {

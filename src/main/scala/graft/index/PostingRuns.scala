@@ -6,37 +6,75 @@ package graft.index
   * each reduce partition (the memory-bandwidth bottleneck of the build at
   * scale), each map task locally sorts bounded buffers of postings and emits
   * delta+varbyte-encoded CHUNKS (~10 B/posting) keyed by a (shard,
-  * term-prefix) group. Reduce tasks k-way-merge the sorted chunks straight
+  * term-bucket) group. Reduce tasks k-way-merge the sorted chunks straight
   * into posting blocks — the shuffle carries 3× less data and the reduce
   * side needs no sort at all.
   *
-  * Chunk format (one chunk = one pkey group from one buffer flush), groups
-  * ordered by skey = shard<<32|term:
+  * The term is carried as a FULL 64-bit value end-to-end (any TokenHasher —
+  * fx32, fx64, custom — round-trips exactly). The shuffle bucket is derived
+  * from a mix (murmur fmix64) of the term rather than its raw top bits, so
+  * the group fan-out is uniform for every hash width; fmix64 is a bijection,
+  * so equal mixes ⇔ equal terms and the sort stays a total order.
   *
-  *   group := skeyDelta:varlong  cnt:varint  cnt × (docDelta:varlong
+  * Chunk format (one chunk = one pkey group from one buffer flush; shard is
+  * constant within a chunk, groups ordered by (bucket(term), term)):
+  *
+  *   chunk := shard:varint  group*
+  *   group := termDelta:varlong  cnt:varint  cnt × (docDelta:varlong
   *            tf:varint dl:varint)
   *
-  * skeyDelta is from the previous group in the chunk (first absolute);
-  * docDelta is from the previous posting in the group (first absolute).
-  * A (term, doc) pair exists in exactly one map partition (the forward
-  * index holds one row per doc), so merge order is total and the output is
-  * deterministic.
+  * termDelta is from the previous group in the chunk (first vs 0); deltas
+  * use two's-complement wraparound, so arbitrary signed 64-bit terms and doc
+  * ids are exact. docDelta is from the previous posting in the group (first
+  * absolute). A (term, doc) pair exists in exactly one map partition (the
+  * forward index holds one row per doc), so merge order is total and the
+  * output is deterministic.
   */
 private[index] object PostingRuns {
 
-  /** Buffered map-side collector: sort (skey, doc) → split by pkey → encode. */
-  final class RunBuffer(capacity: Int, pkeyOf: (Long, Long) => Int) {
-    private val skeys = new Array[Long](capacity)
+  /** MurmurHash3 64-bit finalizer (public domain): bijective avalanche mix. */
+  @inline def fmix64(v0: Long): Long = {
+    var v = v0
+    v ^= v >>> 33
+    v *= 0xff51afd7ed558ccdL
+    v ^= v >>> 33
+    v *= 0xc4ceb9fe1a85ec53L
+    v ^= v >>> 33
+    v
+  }
+
+  /** Uniform term bucket within a shard: top `prefixBits` of the mixed term. */
+  @inline def bucketOf(term: Long, prefixBits: Int): Int =
+    if (prefixBits == 0) 0 else (fmix64(term) >>> (64 - prefixBits)).toInt
+
+  /** Buffered map-side collector: sort (gkey, term, doc) → split by pkey →
+    * encode. gkey = shard·bucketsPerShard + bucket(term); pkey additionally
+    * carries the doc-range slice when rangeBits > 0.
+    */
+  final class RunBuffer(capacity: Int, bucketsPerShard: Int, prefixBits: Int,
+                        rangeBits: Int) {
+    private val gkeys = new Array[Long](capacity)
+    private val terms = new Array[Long](capacity)
     private val docs = new Array[Long](capacity)
     private val tfdls = new Array[Long](capacity)
     private var n = 0
 
-    def add(skey: Long, doc: Long, tf: Int, dl: Int): Unit = {
-      skeys(n) = skey; docs(n) = doc; tfdls(n) = (tf.toLong << 32) | (dl.toLong & 0xFFFFFFFFL)
+    def add(shard: Int, term: Long, doc: Long, tf: Int, dl: Int): Unit = {
+      gkeys(n) = shard.toLong * bucketsPerShard + bucketOf(term, prefixBits)
+      terms(n) = term
+      docs(n) = doc
+      tfdls(n) = (tf.toLong << 32) | (dl.toLong & 0xFFFFFFFFL)
       n += 1
     }
     def isFull: Boolean = n == capacity
     def nonEmpty: Boolean = n > 0
+
+    @inline private def pkeyAt(i: Int): Int = {
+      val g = gkeys(i).toInt
+      if (rangeBits == 0) g
+      else (g << rangeBits) | ((docs(i) >>> (63 - rangeBits)) & ((1 << rangeBits) - 1)).toInt
+    }
+    @inline private def shardAt(i: Int): Int = (gkeys(i) / bucketsPerShard).toInt
 
     def flush(): Iterator[(Int, Array[Byte])] = {
       if (n == 0) return Iterator.empty
@@ -44,15 +82,17 @@ private[index] object PostingRuns {
       val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Array[Byte])]
       var i = 0
       while (i < n) {
-        val pkey = pkeyOf(skeys(i), docs(i))
+        val pkey = pkeyAt(i)
         val bos = new java.io.ByteArrayOutputStream(1024)
-        var prevSkey = 0L
+        writeVar(bos, shardAt(i).toLong)
+        var prevTerm = 0L
         // encode all consecutive groups sharing this pkey
-        while (i < n && pkeyOf(skeys(i), docs(i)) == pkey) {
-          val skey = skeys(i)
+        while (i < n && pkeyAt(i) == pkey) {
+          val gk = gkeys(i); val term = terms(i)
           var j = i
-          while (j < n && skeys(j) == skey) j += 1
-          writeVar(bos, skey - prevSkey)
+          while (j < n && gkeys(j) == gk && terms(j) == term &&
+                 (rangeBits == 0 || pkeyAt(j) == pkey)) j += 1
+          writeVar(bos, term - prevTerm) // wraparound delta: exact for any Long
           writeVar(bos, (j - i).toLong)
           var prevDoc = 0L
           var k = i
@@ -63,7 +103,7 @@ private[index] object PostingRuns {
             writeVar(bos, tfdls(k) & 0xFFFFFFFFL)
             k += 1
           }
-          prevSkey = skey
+          prevTerm = term
           i = j
         }
         out += ((pkey, bos.toByteArray))
@@ -78,7 +118,7 @@ private[index] object PostingRuns {
       out.write(v.toInt)
     }
 
-    // quicksort of the parallel arrays by (skey, doc); median-of-3 pivot
+    // quicksort of the parallel arrays by (gkey, term, doc); median-of-3 pivot
     private def sort3(lo0: Int, hi0: Int): Unit = {
       var lo = lo0; var hi = hi0
       while (lo < hi) {
@@ -87,46 +127,55 @@ private[index] object PostingRuns {
         // median-of-three into mid
         if (less(mid, lo)) swap(mid, lo)
         if (less(hi, mid)) { swap(hi, mid); if (less(mid, lo)) swap(mid, lo) }
-        val pk = skeys(mid); val pd = docs(mid)
+        val pg = gkeys(mid); val pt = terms(mid); val pd = docs(mid)
         var i = lo; var j = hi
         while (i <= j) {
-          while (skeys(i) < pk || (skeys(i) == pk && docs(i) < pd)) i += 1
-          while (skeys(j) > pk || (skeys(j) == pk && docs(j) > pd)) j -= 1
+          while (lessK(i, pg, pt, pd)) i += 1
+          while (grtK(j, pg, pt, pd)) j -= 1
           if (i <= j) { swap(i, j); i += 1; j -= 1 }
         }
         // recurse into the smaller side, loop on the larger
         if (j - lo < hi - i) { sort3(lo, j); lo = i } else { sort3(i, hi); hi = j }
       }
     }
+    @inline private def lessK(a: Int, g: Long, t: Long, d: Long): Boolean =
+      gkeys(a) < g || (gkeys(a) == g && (terms(a) < t || (terms(a) == t && docs(a) < d)))
+    @inline private def grtK(a: Int, g: Long, t: Long, d: Long): Boolean =
+      gkeys(a) > g || (gkeys(a) == g && (terms(a) > t || (terms(a) == t && docs(a) > d)))
     @inline private def less(a: Int, b: Int): Boolean =
-      skeys(a) < skeys(b) || (skeys(a) == skeys(b) && docs(a) < docs(b))
+      lessK(a, gkeys(b), terms(b), docs(b))
     @inline private def swap(a: Int, b: Int): Unit = {
-      var t = skeys(a); skeys(a) = skeys(b); skeys(b) = t
+      var t = gkeys(a); gkeys(a) = gkeys(b); gkeys(b) = t
+      t = terms(a); terms(a) = terms(b); terms(b) = t
       t = docs(a); docs(a) = docs(b); docs(b) = t
       t = tfdls(a); tfdls(a) = tfdls(b); tfdls(b) = t
     }
     private def insertion(lo: Int, hi: Int): Unit = {
       var i = lo + 1
       while (i <= hi) {
-        val sk = skeys(i); val d = docs(i); val t = tfdls(i)
+        val g = gkeys(i); val tm = terms(i); val d = docs(i); val t = tfdls(i)
         var j = i - 1
-        while (j >= lo && (skeys(j) > sk || (skeys(j) == sk && docs(j) > d))) {
-          skeys(j + 1) = skeys(j); docs(j + 1) = docs(j); tfdls(j + 1) = tfdls(j)
+        while (j >= lo && grtK(j, g, tm, d)) {
+          gkeys(j + 1) = gkeys(j); terms(j + 1) = terms(j)
+          docs(j + 1) = docs(j); tfdls(j + 1) = tfdls(j)
           j -= 1
         }
-        skeys(j + 1) = sk; docs(j + 1) = d; tfdls(j + 1) = t
+        gkeys(j + 1) = g; terms(j + 1) = tm; docs(j + 1) = d; tfdls(j + 1) = t
         i += 1
       }
     }
   }
 
-  /** Streaming decoder over one chunk: yields (skey, doc, tf, dl) in
-    * (skey, doc) order with O(1) state.
+  /** Streaming decoder over one chunk: yields (shard, term, doc, tf, dl) in
+    * ((bucket(term), term), doc) order with O(1) state. `prefixBits` must
+    * match the writer so cursor comparison reproduces the chunk order.
     */
-  final class RunCursor(bytes: Array[Byte]) {
+  final class RunCursor(bytes: Array[Byte], prefixBits: Int) {
     private var pos = 0
     private var remaining = 0
-    var skey = 0L
+    val shard: Int = readVar().toInt
+    var term = 0L
+    var bucket = 0 // bucketOf(term, prefixBits), cached per group
     var doc = 0L
     var tf = 0
     var dl = 0
@@ -136,7 +185,8 @@ private[index] object PostingRuns {
       var fresh = false
       if (remaining == 0) {
         if (pos >= bytes.length) return false
-        skey += readVar()
+        term += readVar()
+        bucket = bucketOf(term, prefixBits)
         remaining = readVar().toInt
         fresh = true
       }
@@ -158,5 +208,15 @@ private[index] object PostingRuns {
       } while ((b & 0x80) != 0)
       v
     }
+  }
+
+  /** Total merge order matching the writer's sort: (shard, bucket, term, doc). */
+  def compareCursors(a: RunCursor, b: RunCursor): Int = {
+    var c = Integer.compare(a.shard, b.shard)
+    if (c != 0) return c
+    c = Integer.compare(a.bucket, b.bucket)
+    if (c != 0) return c
+    c = java.lang.Long.compare(a.term, b.term)
+    if (c != 0) c else java.lang.Long.compare(a.doc, b.doc)
   }
 }

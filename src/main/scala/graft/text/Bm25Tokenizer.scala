@@ -4,10 +4,10 @@ import java.util.Locale
 import graft.text.stem._
 
 /** Languages supported by the tokenizer (the reference's 17-variant enum,
-  * `/root/reference/src/default_tokenizer.rs:17-35`). Stemming is currently
-  * ported for English and German (the two snapshot-validated languages);
-  * other languages tokenize with stopword/stemmer behavior documented in
-  * `Stopwords.forLanguage` / `Bm25Tokenizer`.
+  * `/root/reference/src/default_tokenizer.rs:17-35`). All 17 languages route
+  * to a Snowball stemmer and an NLTK stopword list; per-language fidelity
+  * status (snapshot-exact vs golden-vector-validated vs structural port) is
+  * documented in each `graft.text.stem.*Stemmer` and `StopwordLists`.
   */
 sealed abstract class Language(val name: String) extends Serializable
 object Language {

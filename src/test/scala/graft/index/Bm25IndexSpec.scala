@@ -156,6 +156,49 @@ class Bm25IndexSpec extends SparkTestBase {
     }
   }
 
+  test("64-bit term hashes (fx64) survive build + search, identical ranks to fx32") {
+    // Round-2's run format packed skey = shard<<32 + term, silently
+    // truncating 64-bit hashes; this gates the fixed format end-to-end.
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .selectExpr("doc_id", "text as content").as[CorpusDoc]
+    val dir = tmpDir("idx_fx64")
+    IndexBuilder.build(spark, docs, Bm25Tokenizer.default, dir,
+      IndexBuildConfig(numShards = 4, shardGroups = 2),
+      hasher = graft.bm25.Fx64Hasher)
+    // the index must actually contain terms above the 32-bit range
+    val wide = spark.read.parquet(s"$dir/postings")
+      .where($"term" > (1L << 32)).count()
+    assert(wide > 0L, "fx64 index should hold terms > 2^32")
+    val idx64 = new Bm25Index(spark, dir)
+    for (q <- Seq("merge join sort", "the fast key", "spark window batch stream");
+         k <- Seq(5, 20)) {
+      // same tokenizer + same corpus ⇒ identical tf/dl/df per matched doc:
+      // scores and ranks must be bit-identical across hash spaces (the hash
+      // only names the term), and WAND must agree with exhaustive.
+      val h32 = index.search(q, Some(k), "exhaustive").collect()
+      val ex64 = idx64.search(q, Some(k), "exhaustive").collect()
+      val wd64 = idx64.search(q, Some(k), "wand").collect()
+      assert(ex64.map(_.doc_id).toSeq === h32.map(_.doc_id).toSeq, s"q='$q' k=$k vs fx32")
+      ex64.zip(h32).foreach { case (a, b) =>
+        assert(java.lang.Float.floatToRawIntBits(a.score) ===
+          java.lang.Float.floatToRawIntBits(b.score), s"q='$q' doc ${a.doc_id}")
+      }
+      assert(wd64.map(_.doc_id).toSeq === ex64.map(_.doc_id).toSeq, s"q='$q' k=$k wand")
+      wd64.zip(ex64).foreach { case (a, b) =>
+        assert(java.lang.Float.floatToRawIntBits(a.score) ===
+          java.lang.Float.floatToRawIntBits(b.score), s"q='$q' doc ${a.doc_id} wand")
+      }
+    }
+  }
+
+  test("negative custom-hasher terms route to the builder's termstats bucket") {
+    // manifest.bucketOf must agree with the builder's pmod for terms < 0
+    val m = index.manifest
+    assert(m.bucketOf(-1L) === ((-1L % m.termBuckets) + m.termBuckets) % m.termBuckets)
+    assert(m.bucketOf(-1L) >= 0 && m.bucketOf(Long.MinValue) >= 0)
+    assert(m.bucketOf(7L) === 7 % m.termBuckets)
+  }
+
   test("df from termstats equals live distinct count from postings") {
     val terms = index.queryTerms("merge join").distinct
     val dfs = index.termDfs(terms)
