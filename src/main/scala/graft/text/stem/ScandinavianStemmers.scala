@@ -5,7 +5,9 @@ package graft.text.stem
   * from the published algorithm definition on snowballstem.org (the same
   * definitions rust-stemmers v1.2.0 is generated from — the stemmers the
   * reference selects per language at
-  * `/root/reference/src/default_tokenizer.rs:88-110`).
+  * `/root/reference/src/default_tokenizer.rs:88-110`). Fidelity is gated by
+  * golden vectors generated with the system libstemmer (see
+  * scripts/stem_parity.sh and StemGoldenSpec).
   */
 private[stem] object Snowball {
 
@@ -37,6 +39,22 @@ private[stem] object Snowball {
     }
     true
   }
+
+  /** `setlimit tomark p1 for ([substring]) among(...)` semantics: the
+    * longest candidate whose WHOLE match lies inside R1 (candidates that
+    * would cross the region boundary are not considered at all — shorter
+    * in-region alternatives still match). Returns null when none fits.
+    * `cands` must be sorted longest-first.
+    */
+  def longestWithin(sb: StringBuilder, p1: Int, cands: Array[String]): String = {
+    var i = 0
+    while (i < cands.length) {
+      val s = cands(i)
+      if (sb.length - s.length >= p1 && endsWith(sb, s)) return s
+      i += 1
+    }
+    null
+  }
 }
 
 /** Danish Snowball stemmer (snowballstem.org/algorithms/danish/stemmer.html). */
@@ -51,58 +69,53 @@ object DanishStemmer extends Stemmer {
   @inline private def sEnding(c: Char): Boolean =
     "abcdfghjklmnoprtvyzå".indexOf(c) >= 0
 
-  // step-1 suffixes longest-first ('s' handled via its own rule below)
-  private val step1 = Array(
+  // main_suffix delete-list ∪ the conditional 's', longest-first
+  private val step1 = (Array(
     "erendes", "erende", "hedens", "ethed", "erede", "heden", "heder",
     "endes", "ernes", "erens", "erets", "ered", "ende", "erne", "eren",
     "erer", "heds", "enes", "eres", "eret", "hed", "ene", "ere", "ens",
-    "ers", "ets", "en", "er", "es", "et", "e")
+    "ers", "ets", "en", "er", "es", "et", "e") :+ "s").sortBy(-_.length)
+
+  private val step3 = Array("elig", "løst", "lig", "els", "ig").sortBy(-_.length)
 
   def stem(word: String): String = {
     if (word.length < 3) return word
     val sb = new StringBuilder(word)
     val p1 = r1Min3(sb, isV)
-    def inR1(n: Int) = sb.length - n >= p1
     def chop(n: Int): Unit = sb.setLength(sb.length - n)
 
-    // step 1: longest match among suffixes + the conditional 's'
-    var matched: String = null
-    var i = 0
-    while (matched == null && i < step1.length) {
-      if (endsWith(sb, step1(i))) matched = step1(i)
-      i += 1
-    }
-    if (matched != null) {
-      // 's' is shorter than every listed suffix, so a listed match wins
-      if (inR1(matched.length)) chop(matched.length)
-    } else if (endsWith(sb, "s") && inR1(1) &&
-               sb.length >= 2 && sEnding(sb.charAt(sb.length - 2))) {
-      chop(1)
+    // step 1 (main_suffix): longest fitting within R1; 's' needs an s-ending
+    // char that is itself inside R1 (the grouping test cannot cross the
+    // setlimit boundary)
+    // the setlimit restricts only the [substring] match; the s_ending test
+    // in the among action may look left of R1
+    val m = longestWithin(sb, p1, step1)
+    if (m != null) {
+      if (m != "s") chop(m.length)
+      else if (sb.length >= 2 && sEnding(sb.charAt(sb.length - 2))) chop(1)
     }
 
-    // step 2 (consonant pair): gd dt gt kt in R1 → delete last letter
+    // step 2 (consonant_pair): gd dt gt kt fully in R1 → delete last letter
     def consonantPair(): Unit = {
-      if (sb.length >= 2 && inR1(2)) {
+      if (sb.length >= 2 && sb.length - 2 >= p1) {
         val pair = sb.substring(sb.length - 2)
         if (pair == "gd" || pair == "dt" || pair == "gt" || pair == "kt") chop(1)
       }
     }
     consonantPair()
 
-    // step 3: igst → remove st; then elig/lig/els/ig delete in R1 (+ step 2
-    // again); løst → løs in R1
+    // step 3 (other_suffix): first `do (['st'] 'ig' delete)` (no region
+    // test), then the longest fitting among in R1
     if (endsWith(sb, "igst")) chop(2)
-    if (endsWith(sb, "elig")) { if (inR1(4)) { chop(4); consonantPair() } }
-    else if (endsWith(sb, "løst")) { if (inR1(4)) chop(1) }
-    else if (endsWith(sb, "lig")) { if (inR1(3)) { chop(3); consonantPair() } }
-    else if (endsWith(sb, "els")) { if (inR1(3)) { chop(3); consonantPair() } }
-    else if (endsWith(sb, "ig")) { if (inR1(2)) { chop(2); consonantPair() } }
+    val m3 = longestWithin(sb, p1, step3)
+    if (m3 == "løst") chop(1)
+    else if (m3 != null) { chop(m3.length); consonantPair() }
 
-    // step 4 (undouble): final double non-vowel with last char in R1
-    if (sb.length >= 2 && inR1(1)) {
-      val c = sb.charAt(sb.length - 1)
-      if (!isV(c) && sb.charAt(sb.length - 2) == c) chop(1)
-    }
+    // step 4 (undouble): final non-vowel inside R1 repeated by the char to
+    // its left (which may lie OUTSIDE R1 — only the deleted char is
+    // region-bound) → delete one
+    if (sb.length >= 2 && sb.length - 1 >= p1 && !isV(sb.charAt(sb.length - 1)) &&
+        sb.charAt(sb.length - 2) == sb.charAt(sb.length - 1)) chop(1)
     sb.toString
   }
 }
@@ -115,63 +128,46 @@ object NorwegianStemmer extends Stemmer {
     c == 'a' || c == 'e' || c == 'i' || c == 'o' || c == 'u' || c == 'y' ||
     c == 'æ' || c == 'å' || c == 'ø'
 
-  // s-endings: b c d f g h j l m n o p r t v y z, or k not preceded by vowel
-  private def validS(sb: StringBuilder): Boolean = {
-    if (sb.length < 2) return false
-    val c = sb.charAt(sb.length - 2)
-    if ("bcdfghjlmnoprtvyz".indexOf(c) >= 0) return true
-    c == 'k' && (sb.length < 3 || !isV(sb.charAt(sb.length - 3)))
-  }
-
-  // step-1 suffixes longest-first; erte/ert replace with er; s conditional
-  private val step1Delete = Array(
+  private val step1 = (Array(
     "hetenes", "hetene", "hetens", "heten", "heter", "endes", "edes",
     "enes", "ende", "ande", "ane", "ene", "ens", "ers", "ets", "ast",
-    "ede", "het", "en", "ar", "er", "as", "es", "et", "a", "e")
+    "ede", "het", "en", "ar", "er", "as", "es", "et", "a", "e") ++
+    Array("erte", "ert", "s")).sortBy(-_.length)
+
+  private val step3 = Array("hetslov", "slov", "elov", "elig", "eleg", "eig",
+    "lig", "els", "lov", "leg", "ig").sortBy(-_.length)
 
   def stem(word: String): String = {
     if (word.length < 3) return word
     val sb = new StringBuilder(word)
     val p1 = r1Min3(sb, isV)
-    def inR1(n: Int) = sb.length - n >= p1
     def chop(n: Int): Unit = sb.setLength(sb.length - n)
 
-    // step 1: longest among delete-list ∪ {erte, ert → er} ∪ {s}
-    var best: String = null
-    var kind = 0 // 0 = delete, 1 = →er, 2 = s
-    var i = 0
-    while (i < step1Delete.length) {
-      val s = step1Delete(i)
-      if ((best == null || s.length > best.length) && endsWith(sb, s)) { best = s; kind = 0 }
-      i += 1
-    }
-    if ((best == null || best.length < 4) && endsWith(sb, "erte")) { best = "erte"; kind = 1 }
-    else if ((best == null || best.length < 3) && endsWith(sb, "ert")) { best = "ert"; kind = 1 }
-    if (best == null && endsWith(sb, "s")) { best = "s"; kind = 2 }
-    if (best != null) kind match {
-      case 0 => if (inR1(best.length)) chop(best.length)
-      case 1 => if (inR1(best.length)) chop(best.length - 2) // erte/ert → er
-      case 2 => if (inR1(1) && validS(sb)) chop(1)
+    // s-ending: b c d f g h j l m n o p r t v y z, or k not preceded by a
+    // vowel — the tested chars must stay inside R1 (setlimit)
+    // the among action runs outside the setlimit: chars left of R1 are fair
+    // game for the s-ending test
+    def validS: Boolean = {
+      if (sb.length < 2) return false
+      val c = sb.charAt(sb.length - 2)
+      if ("bcdfghjlmnoprtvyz".indexOf(c) >= 0) return true
+      c == 'k' && (sb.length < 3 || !isV(sb.charAt(sb.length - 3)))
     }
 
-    // step 2: dt vt in R1 → delete last letter
-    if (sb.length >= 2 && inR1(2)) {
+    val m = longestWithin(sb, p1, step1)
+    if (m == "erte" || m == "ert") chop(m.length - 2) // → 'er'
+    else if (m == "s") { if (validS) chop(1) }
+    else if (m != null) chop(m.length)
+
+    // step 2: dt vt fully in R1 → delete last letter
+    if (sb.length >= 2 && sb.length - 2 >= p1) {
       val pair = sb.substring(sb.length - 2)
       if (pair == "dt" || pair == "vt") chop(1)
     }
 
-    // step 3: longest among, delete if in R1
-    val step3 = Array("hetslov", "slov", "elov", "elig", "eleg", "eig",
-      "lig", "els", "lov", "leg", "ig")
-    var j = 0
-    var done = false
-    while (!done && j < step3.length) {
-      if (endsWith(sb, step3(j))) {
-        if (inR1(step3(j).length)) chop(step3(j).length)
-        done = true
-      }
-      j += 1
-    }
+    // step 3: longest fitting within R1 → delete
+    val m3 = longestWithin(sb, p1, step3)
+    if (m3 != null) chop(m3.length)
     sb.toString
   }
 }
@@ -188,48 +184,40 @@ object SwedishStemmer extends Stemmer {
   @inline private def sEnding(c: Char): Boolean =
     "bcdfghjklmnoprtvy".indexOf(c) >= 0
 
-  private val step1 = Array(
+  private val step1 = (Array(
     "heterna", "hetens", "anden", "heten", "heter", "arnas", "ernas",
     "ornas", "arna", "erna", "orna", "ande", "arne", "aste", "aren",
     "ades", "andes", "andet", "arens", "erns", "ern", "ens", "het",
     "ast", "ade", "are", "ad", "en", "ar", "er", "or", "as", "es", "at",
-    "a", "e")
+    "a", "e") :+ "s").sortBy(-_.length)
+
+  private val step3 = Array("fullt", "löst", "lig", "els", "ig").sortBy(-_.length)
 
   def stem(word: String): String = {
     if (word.length < 3) return word
     val sb = new StringBuilder(word)
     val p1 = r1Min3(sb, isV)
-    def inR1(n: Int) = sb.length - n >= p1
     def chop(n: Int): Unit = sb.setLength(sb.length - n)
 
-    // step 1: longest among delete-list ∪ {s}
-    var best: String = null
-    var i = 0
-    while (i < step1.length) {
-      val s = step1(i)
-      if ((best == null || s.length > best.length) && endsWith(sb, s)) best = s
-      i += 1
-    }
-    if (best != null) {
-      if (inR1(best.length)) chop(best.length)
-    } else if (endsWith(sb, "s") && inR1(1) &&
-               sb.length >= 2 && sEnding(sb.charAt(sb.length - 2))) {
-      chop(1)
+    // step 1: longest fitting within R1; the s-ending test is NOT
+    // region-restricted (runs outside the setlimit)
+    val m = longestWithin(sb, p1, step1)
+    if (m != null) {
+      if (m != "s") chop(m.length)
+      else if (sb.length >= 2 && sEnding(sb.charAt(sb.length - 2))) chop(1)
     }
 
-    // step 2: dd gd nn dt gt kt tt in R1 → delete last letter
-    if (sb.length >= 2 && inR1(2)) {
+    // step 2: dd gd nn dt gt kt tt fully in R1 → delete last letter
+    if (sb.length >= 2 && sb.length - 2 >= p1) {
       val pair = sb.substring(sb.length - 2)
       if (pair == "dd" || pair == "gd" || pair == "nn" || pair == "dt" ||
           pair == "gt" || pair == "kt" || pair == "tt") chop(1)
     }
 
-    // step 3: lig ig els delete in R1; löst → lös; fullt → full
-    if (endsWith(sb, "fullt")) { if (inR1(5)) chop(1) }
-    else if (endsWith(sb, "löst")) { if (inR1(4)) chop(1) }
-    else if (endsWith(sb, "lig")) { if (inR1(3)) chop(3) }
-    else if (endsWith(sb, "els")) { if (inR1(3)) chop(3) }
-    else if (endsWith(sb, "ig")) { if (inR1(2)) chop(2) }
+    // step 3: longest fitting within R1; fullt/löst drop the final t
+    val m3 = longestWithin(sb, p1, step3)
+    if (m3 == "fullt" || m3 == "löst") chop(1)
+    else if (m3 != null) chop(m3.length)
     sb.toString
   }
 }

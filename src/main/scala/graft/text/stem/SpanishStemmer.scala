@@ -169,41 +169,45 @@ object SpanishStemmer extends Stemmer {
     val removed1 = sb.length != lenBefore1
 
     // ---- Step 2a: verb suffixes beginning y (only if step 1 removed nothing)
+    // `setlimit tomark pV for ([substring] among(...))`: only candidates
+    // fully inside RV compete for longest-match; the preceding-'u' test is
+    // inside the setlimit, so the u must be in RV as well
     var removed2a = false
     if (!removed1) {
       val ySuf = Array("yeron", "yendo", "yamos", "yais", "yan", "yen",
         "yas", "yes", "ya", "ye", "yo", "yó")
+      var best: String = null
       var i = 0
-      var found = false
-      while (!found && i < ySuf.length) {
+      while (i < ySuf.length) {
         val s = ySuf(i)
-        if (ends(s)) {
-          found = true
-          if (inRV(s.length) && sb.length > s.length &&
-              sb.charAt(sb.length - s.length - 1) == 'u') {
-            chop(s.length)
-            removed2a = true
-          }
-        }
+        if ((best == null || s.length > best.length) && ends(s) && inRV(s.length)) best = s
         i += 1
+      }
+      if (best != null && sb.length > best.length &&
+          sb.length - best.length - 1 >= rv &&
+          sb.charAt(sb.length - best.length - 1) == 'u') {
+        chop(best.length)
+        removed2a = true
       }
     }
 
-    // ---- Step 2b: other verb suffixes (longest match; the en/es/éis/emos
-    // group additionally strips a preceding gu's u) ------------------------
+    // ---- Step 2b: other verb suffixes (longest match among candidates
+    // fitting inside RV; the en/es/éis/emos group additionally strips a
+    // preceding gu's u when the u is inside RV) ----------------------------
     if (!removed1 && !removed2a) {
+      var best: String = null
+      var bestGu = false
       var i = 0
-      var handled = false
-      while (!handled && i < SpanishStemmer.step2b.length) {
+      while (i < SpanishStemmer.step2b.length) {
         val (s, gu) = SpanishStemmer.step2b(i)
-        if (ends(s)) {
-          if (inRV(s.length)) {
-            chop(s.length)
-            if (gu && ends("gu")) chop(1) // delete the u after g
-          }
-          handled = true
+        if ((best == null || s.length > best.length) && ends(s) && inRV(s.length)) {
+          best = s; bestGu = gu
         }
         i += 1
+      }
+      if (best != null) {
+        chop(best.length)
+        if (bestGu && ends("gu") && inRV(1)) chop(1) // u inside RV
       }
     }
 

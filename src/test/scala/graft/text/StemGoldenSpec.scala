@@ -1,0 +1,37 @@
+package graft.text
+
+import graft.tools.StemDump
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Oracle-generated golden vectors for 14 Snowball stemmers: 400 probe
+  * words per language (inflection grids + random alphabet strings from
+  * scripts/gen_stemwords.py), stemmed with the system libstemmer
+  * (Snowball 2.2.0) via scripts/sb_oracle.py. The full probe corpora
+  * (3k-9.5k words per language) pass with ZERO mismatches as of round 3
+  * (scripts/stem_parity.sh); these baked vectors keep that bar in CI.
+  *
+  * Known, documented divergences from libstemmer 2.2 (excluded from the
+  * vectors because the reference pins rust-stemmers 1.2.0 ≈ Snowball 2.0):
+  *   - French ë/ï words (Snowball 2.1 added 'He'/'Hi' trema handling).
+  */
+class StemGoldenSpec extends AnyFunSuite {
+
+  private val langs = Seq("danish", "norwegian", "swedish", "dutch",
+    "english", "german", "french", "spanish", "italian", "portuguese",
+    "russian", "romanian", "hungarian", "turkish")
+
+  for (lang <- langs) test(s"$lang matches libstemmer golden vectors (400)") {
+    val stemmer = StemDump.stemmerFor(lang)
+    val in = getClass.getResourceAsStream(s"/stemgold/$lang.tsv")
+    assert(in != null, s"missing resource stemgold/$lang.tsv")
+    val lines = scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .filterNot(l => l.startsWith("#") || l.isEmpty).toSeq
+    assert(lines.size >= 300)
+    val bad = lines.flatMap { l =>
+      val Array(w, want) = l.split("\t", 2)
+      val got = stemmer.stem(w)
+      if (got != want) Some(s"stem($w) = $got, want $want") else None
+    }
+    assert(bad.isEmpty, s"${bad.size} mismatches, first: ${bad.take(3).mkString("; ")}")
+  }
+}
