@@ -250,16 +250,27 @@ object OracleSql {
         s"""(CASE WHEN list_sum(list_transform(range(1, len(v) + 1),
            |      d -> CASE WHEN substr(md5('rp:$p:' || (d-1)::VARCHAR), 1, 1) < '8' THEN v[d] ELSE -v[d] END)) >= 0
            |  THEN '1' ELSE '0' END)""".stripMargin
+      def bandCode(b: Int) =
+        (0 until 8).map(r => bit(b * 8 + r)).mkString(" ||\n    ")
+      // 4 bands × 8 planes — candidate pairs collide in ANY band (same
+      // structure as the Spark side), then exact-cosine verified
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |b AS (
-         |  SELECT vec_id, v,
-         |    ${(0 until 8).map(bit).mkString(" ||\n    ")} AS bucket
-         |  FROM e
+         |  ${(0 until 4).map(k =>
+               s"SELECT vec_id, v, $k AS band,\n    ${bandCode(k)} AS bucket FROM e")
+              .mkString("\n  UNION ALL\n  ")}
+         |),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS a, b2.vec_id AS b
+         |  FROM b a JOIN b b2 ON a.band = b2.band AND a.bucket = b2.bucket
+         |    AND a.vec_id < b2.vec_id
          |)
-         |SELECT a.vec_id AS a, b2.vec_id AS b,
-         |  round(list_cosine_similarity(a.v, b2.v), 4) AS cos_r
-         |FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
-         |WHERE list_cosine_similarity(a.v, b2.v) >= 0.35
+         |SELECT c.a, c.b,
+         |  round(list_cosine_similarity(ea.v, eb.v), 4) AS cos_r
+         |FROM cand c
+         |JOIN e ea ON ea.vec_id = c.a
+         |JOIN e eb ON eb.vec_id = c.b
+         |WHERE list_cosine_similarity(ea.v, eb.v) >= 0.35
          |ORDER BY a, b""".stripMargin
     },
 

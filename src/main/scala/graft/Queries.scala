@@ -110,6 +110,79 @@ object Queries {
   private val nltkEnSql: String =
     graft.text.Stopwords.english.toSeq.sorted.map(w => "'" + w.replace("'", "''") + "'").mkString(", ")
 
+  /** IVF approximate-nearest-neighbour top-k over the embeddings table —
+    * the scale path next to the exact `sim_cosine_topk` baseline.
+    *
+    * Shape chosen for 100 TB, not just the test scale:
+    *   - K (number of inverted lists) scales as √n (the classical IVF
+    *     balance point: probe cost ≈ K + nprobe·n/K), overridable;
+    *   - centroid training is 5 rounds of distributed Lloyd's: assignment
+    *     is a broadcast + narrow map; the update is a `reduceGroups`
+    *     partial aggregation (map-side combine of (Σvec, count) pairs), so
+    *     a hot cluster never funnels through a single task's iterator;
+    *   - only K×dim doubles ever reach the driver;
+    *   - nprobe defaults to ⌈K/4⌉ (recall-biased; AnnRecallSpec holds
+    *     recall@10 ≥ 0.9 at two scales).
+    */
+  def simAnnIvf(spark: SparkSession, sfDir: String,
+                kOverride: Int = 0, nprobeOverride: Int = 0): DataFrame = {
+    import spark.implicits._
+    val e = tbl(spark, sfDir, "embeddings")
+      .select($"vec_id", expr("transform(embedding, x -> cast(x as double))").as("v"))
+      .persist() // scanned once per Lloyd round + twice after
+    val n = e.count()
+    val k = if (kOverride > 0) kOverride
+            else math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt)
+    val nprobe = if (nprobeOverride > 0) nprobeOverride
+                 else math.max(4, math.ceil(k / 4.0).toInt) // recall-biased K/4
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      if (na == 0 || nb == 0) -1.0 else d / math.sqrt(na * nb)
+    }
+    def nearest(cents: Array[Array[Double]], v: Array[Double]): Int = {
+      var best = 0; var bestC = -2.0; var i = 0
+      while (i < cents.length) {
+        val c = cos(cents(i), v)
+        if (c > bestC) { bestC = c; best = i }
+        i += 1
+      }
+      best
+    }
+    var cents: Array[Array[Double]] = e.where($"vec_id" < k).orderBy($"vec_id")
+      .collect().map(_.getSeq[Double](1).toArray)
+    for (_ <- 1 to 5) {
+      val cB = spark.sparkContext.broadcast(cents)
+      val updated = e.as[(Long, Seq[Double])]
+        .map { case (_, v) => (nearest(cB.value, v.toArray), (v.toArray, 1L)) }
+        .groupByKey(_._1)
+        .reduceGroups { (a: (Int, (Array[Double], Long)), b: (Int, (Array[Double], Long))) =>
+          val (s1, n1) = a._2; val (s2, n2) = b._2
+          val sum = new Array[Double](s1.length)
+          var i = 0
+          while (i < s1.length) { sum(i) = s1(i) + s2(i); i += 1 }
+          (a._1, (sum, n1 + n2))
+        }
+        .map { case (c, (_, (sum, cnt))) => (c, sum.map(_ / cnt)) }
+        .collect().toMap
+      cents = cents.indices.map(i => updated.getOrElse(i, cents(i))).toArray
+    }
+    val centB = spark.sparkContext.broadcast(cents)
+    val assigned = e.as[(Long, Seq[Double])].map { case (id, v) =>
+      val arr = v.toArray
+      (id, nearest(centB.value, arr), arr)
+    }.toDF("vec_id", "cluster", "v")
+    val qv = e.where($"vec_id" === 0).head().getSeq[Double](1).toArray
+    val qvB = spark.sparkContext.broadcast(qv)
+    val probe = cents.indices.sortBy(i => -cos(qv, cents(i))).take(nprobe)
+    assigned.where($"cluster".isin(probe.map(Int.box): _*) && $"vec_id" =!= 0)
+      .as[(Long, Int, Seq[Double])]
+      .map { case (id, _, v) => (id, math.rint(cos(v.toArray, qvB.value) * 10000) / 10000) }
+      .toDF("vec_id", "cos_r")
+      .orderBy($"cos_r".desc, $"vec_id")
+      .limit(10)
+  }
+
 
   // ================================================================ queries
 
@@ -338,13 +411,18 @@ object Queries {
         .orderBy($"doc_id")
     },
 
-    // Embedding near-dup via random-hyperplane LSH: 8 Rademacher hyperplanes
-    // (signs derived from md5 so DuckDB reproduces them exactly) hash each
-    // vector to an 8-bit bucket; candidate pairs are generated WITHIN
-    // buckets only — no all-pairs join in the physical plan, so one hot
-    // label can never cartesian-blow-up at scale.
+    // Embedding near-dup via BANDED random-hyperplane LSH (4 bands × 8
+    // Rademacher planes, signs derived from md5 so DuckDB reproduces them
+    // exactly): a pair is a candidate when it collides in ANY band — the
+    // same b×r structure as the minhash path. Banding keeps recall high
+    // while each band bucket stays small: at n rows and 256 buckets/band,
+    // expected within-bucket pair work is 4·n²/256 versus a single wider
+    // code losing recall — and there is never an all-pairs join in the
+    // physical plan, so one hot label cannot cartesian-blow-up at scale.
     "dedup_embedding_cosine" -> { (spark, sfDir) =>
       import spark.implicits._
+      val bands = 4
+      val planesPerBand = 8
       val e = tbl(spark, sfDir, "embeddings")
         .select($"vec_id", expr("transform(embedding, x -> cast(x as double))").as("v"))
       // The hyperplane signs depend only on (plane, dim): md5('rp:p:d') is
@@ -352,7 +430,7 @@ object Queries {
       // (the oracle computes the same md5 in SQL — identical signs by
       // construction); the per-row expression is then a plain dot product.
       val dim = e.select(size($"v")).head().getInt(0)
-      val bitCols = (0 until 8).map { p =>
+      def bit(p: Int) = {
         val signs = (0 until dim).map { d =>
           val h = org.apache.commons.codec.digest.DigestUtils.md5Hex(s"rp:$p:$d")
           if (h.charAt(0) < '8') "1D" else "-1D"
@@ -361,12 +439,20 @@ object Queries {
           s"aggregate(zip_with(v, $signs, (x, s) -> x * s), cast(0 as double), (s, x) -> s + x)") >= 0,
           lit("1")).otherwise(lit("0"))
       }
-      // persist: both self-join legs share the 8 hyperplane projections
-      val withB = e.withColumn("bucket", concat(bitCols: _*)).persist()
+      val bandCols = (0 until bands).map { b =>
+        val code = concat((0 until planesPerBand).map(r => bit(b * planesPerBand + r)): _*)
+        struct(lit(b).as("band"), code.as("bucket"))
+      }
+      // persist: both self-join legs share the 32 hyperplane projections
+      val withB = e.withColumn("bb", explode(array(bandCols: _*)))
+        .select($"vec_id", $"v", $"bb.band".as("band"), $"bb.bucket".as("bucket"))
+        .persist()
       withB.count()
-      val a = withB.select($"bucket", $"vec_id".as("a"), $"v".as("va"))
-      val b = withB.select($"bucket", $"vec_id".as("b"), $"v".as("vb"))
-      a.join(b, Seq("bucket")).where($"a" < $"b")
+      val a = withB.select($"band", $"bucket", $"vec_id".as("a"), $"v".as("va"))
+      val b = withB.select($"band", $"bucket", $"vec_id".as("b"), $"v".as("vb"))
+      // union over bands → distinct candidate pairs → exact-cosine verify
+      a.join(b, Seq("band", "bucket")).where($"a" < $"b")
+        .select($"a", $"b", $"va", $"vb").distinct()
         .withColumn("dot", expr("aggregate(zip_with(va, vb, (x, y) -> x*y), cast(0 as double), (s, p) -> s + p)"))
         .withColumn("na", expr("sqrt(aggregate(transform(va, x -> x*x), cast(0 as double), (s, p) -> s + p))"))
         .withColumn("nb", expr("sqrt(aggregate(transform(vb, x -> x*x), cast(0 as double), (s, p) -> s + p))"))
@@ -394,66 +480,10 @@ object Queries {
     },
 
     // IVF ANN (rows-only oracle; recall@10 ≥ 0.9 vs sim_cosine_topk is
-    // asserted in AnnRecallSpec): centroids trained by 5 rounds of
-    // distributed Lloyd's k-means (K=16, deterministic init from the first
-    // K vectors), then nprobe=4 inverted lists are scanned for the query.
-    "sim_ann_ivf" -> { (spark, sfDir) =>
-      import spark.implicits._
-      val e = tbl(spark, sfDir, "embeddings")
-        .select($"vec_id", expr("transform(embedding, x -> cast(x as double))").as("v"))
-        .persist() // scanned once per Lloyd round + twice after
-      val k = 16
-      val nprobe = 4
-      def cos(a: Array[Double], b: Array[Double]): Double = {
-        var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-        while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
-        if (na == 0 || nb == 0) -1.0 else d / math.sqrt(na * nb)
-      }
-      def nearest(cents: Array[Array[Double]], v: Array[Double]): Int = {
-        var best = 0; var bestC = -2.0; var i = 0
-        while (i < cents.length) {
-          val c = cos(cents(i), v)
-          if (c > bestC) { bestC = c; best = i }
-          i += 1
-        }
-        best
-      }
-      // Lloyd's: assign (broadcast centroids, narrow map) → per-cluster mean
-      // (one small groupBy shuffle) → collect K centroids. Every step is
-      // distributed; only K×dim doubles ever reach the driver.
-      var cents: Array[Array[Double]] = e.where($"vec_id" < k).orderBy($"vec_id")
-        .collect().map(_.getSeq[Double](1).toArray)
-      for (_ <- 1 to 5) {
-        val cB = spark.sparkContext.broadcast(cents)
-        val updated = e.as[(Long, Seq[Double])]
-          .map { case (_, v) => (nearest(cB.value, v.toArray), v) }
-          .groupByKey(_._1)
-          .mapGroups { (c, it) =>
-            var n = 0L; var sum: Array[Double] = null
-            it.foreach { case (_, v) =>
-              if (sum == null) sum = new Array[Double](v.length)
-              var i = 0; while (i < v.length) { sum(i) += v(i); i += 1 }
-              n += 1
-            }
-            (c, sum.map(_ / n))
-          }.collect().toMap
-        cents = cents.indices.map(i => updated.getOrElse(i, cents(i))).toArray
-      }
-      val centB = spark.sparkContext.broadcast(cents)
-      val assigned = e.as[(Long, Seq[Double])].map { case (id, v) =>
-        val arr = v.toArray
-        (id, nearest(centB.value, arr), arr)
-      }.toDF("vec_id", "cluster", "v")
-      val qv = e.where($"vec_id" === 0).head().getSeq[Double](1).toArray
-      val qvB = spark.sparkContext.broadcast(qv)
-      val probe = cents.indices.sortBy(i => -cos(qv, cents(i))).take(nprobe)
-      assigned.where($"cluster".isin(probe.map(Int.box): _*) && $"vec_id" =!= 0)
-        .as[(Long, Int, Seq[Double])]
-        .map { case (id, _, v) => (id, math.rint(cos(v.toArray, qvB.value) * 10000) / 10000) }
-        .toDF("vec_id", "cos_r")
-        .orderBy($"cos_r".desc, $"vec_id")
-        .limit(10)
-    },
+    // asserted in AnnRecallSpec at sf0.001 AND sf0.01): see simAnnIvf —
+    // K scales with √n, centroid updates are partial-aggregated
+    // (reduceGroups — no one-task-per-cluster iterator), nprobe ∝ √K.
+    "sim_ann_ivf" -> { (spark, sfDir) => simAnnIvf(spark, sfDir) },
 
     // ------------------------------------------------------ text analysis
 

@@ -62,7 +62,14 @@ final class SearchEngine private[api] (
     else spark.read.parquet(logPath).agg(coalesce(max($"seq"), lit(-1L))).head().getLong(0)
 
   private def baseIndex: Option[Bm25Index] =
-    if (baseExists) Some(new Bm25Index(spark, indexPath, Some(tokenizer), k1, b)) else None
+    if (baseExists)
+      Some(new Bm25Index(spark, indexPath, Some(tokenizer), k1, b,
+        avgdlOverride = fixedAvgdl))
+    else None
+
+  /** Blocks pruned by the live-view WAND path (test instrumentation). */
+  private[graft] val wandSkippedBlocks =
+    spark.sparkContext.longAccumulator("liveWandSkippedBlocks")
 
   /** The frozen avgdl (fit at build / supplied via withAvgdl); upserts drift
     * it, exactly as the reference documents (`search.rs:78-81`).
@@ -228,11 +235,26 @@ final class SearchEngine private[api] (
 
   /** Top-`limit` search ((score desc, key asc)-deterministic; `None` returns
     * every doc sharing ≥1 query term, like the reference's unlimited mode).
+    *
+    * With a limit and a base index, the base side runs block-max WAND with
+    * LIVE idfs and the superseded set excluded, while the (small) delta side
+    * is scored exhaustively and the two top-k lists merge — so a busy engine
+    * between compactions no longer pays full candidate scoring on hot terms.
+    * Results are bit-identical to the exhaustive live scorer (gated in
+    * SearchEngineSpec). Falls back to the exhaustive path for unlimited
+    * searches or when the superseded set is too large to broadcast.
     */
   def search(query: String, limit: Option[Int] = None): Seq[SearchResult] = {
     val qOcc = tokenizer.tokenize(query).map(FxHash.hash32u)
     if (qOcc.isEmpty) return Seq.empty
     val distinctTerms = qOcc.distinct
+
+    if (limit.isDefined && baseExists) {
+      searchWandLive(qOcc, distinctTerms, limit.get) match {
+        case Some(hits) => return resolveContents(hits)
+        case None       => // fall through to the exhaustive path
+      }
+    }
 
     val (candsRaw, nLive) = liveQueryState(distinctTerms)
     val cands = candsRaw.persist()
@@ -262,22 +284,120 @@ final class SearchEngine private[api] (
       }
       val sorted = scored.orderBy($"score".desc, $"doc_id".asc)
       val hits = limit.map(sorted.limit).getOrElse(sorted).as[ScoredDoc].collect()
-      if (hits.isEmpty) return Seq.empty
-
-      // broadcast semi-join, not isin: an unlimited search can return many
-      // ids and a literal In list would blow up the plan
-      val idsDf = spark.createDataset(hits.map(_.doc_id).toSeq).toDF("doc_id")
-      val contents = liveDocs.mapPartitions { it =>
-        it.map(d => (FxHash.hash64(d.id) & Long.MaxValue, d.id, d.contents))
-      }.toDF("doc_id", "key", "contents")
-        .join(broadcast(idsDf), Seq("doc_id"), "left_semi")
-        .as[(Long, String, String)].collect()
-        .map(r => r._1 -> (r._2, r._3)).toMap
-
-      hits.toSeq.flatMap { h =>
-        contents.get(h.doc_id).map { case (key, c) => SearchResult(key, c, h.score) }
-      }
+      resolveContents(hits.toSeq.map(h => (h.doc_id, h.score)))
     } finally cands.unpersist()
+  }
+
+  /** Contents join for scored hits (broadcast semi-join, not isin: an
+    * unlimited search can return many ids and a literal In list would blow
+    * up the plan).
+    */
+  private def resolveContents(hits: Seq[(Long, Float)]): Seq[SearchResult] = {
+    if (hits.isEmpty) return Seq.empty
+    val idsDf = spark.createDataset(hits.map(_._1)).toDF("doc_id")
+    val contents = liveDocs.mapPartitions { it =>
+      it.map(d => (FxHash.hash64(d.id) & Long.MaxValue, d.id, d.contents))
+    }.toDF("doc_id", "key", "contents")
+      .join(broadcast(idsDf), Seq("doc_id"), "left_semi")
+      .as[(Long, String, String)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+
+    hits.flatMap { case (docId, score) =>
+      contents.get(docId).map { case (key, c) => SearchResult(key, c, score) }
+    }
+  }
+
+  /** Hybrid top-k over the live view: WAND-pruned base + exhaustively
+    * scored deltas, merged. Returns None when the superseded set is too
+    * large to broadcast safely (caller falls back to exhaustive).
+    */
+  private def searchWandLive(qOcc: Array[Long], distinctTerms: Array[Long],
+                             k: Int): Option[Seq[(Long, Float)]] = {
+    val idx = baseIndex.get
+    val (deltaLive, supersededIds) = deltaState()
+    val baseSeq = builtSeqMarker
+    val hasDeltas = logExists && nextSeq - 1 > baseSeq
+
+    val superseded: Set[Long] =
+      if (!hasDeltas) Set.empty
+      else {
+        val ids = supersededIds.limit(100001).as[Long].collect()
+        if (ids.length > 100000) return None // too big to broadcast — exhaustive
+        ids.toSet
+      }
+
+    // ---- live df/N without scanning the base candidates -----------------
+    // df_live(t) = df_base(t) − |superseded∩base docs containing t|
+    //            + |live delta docs containing t|
+    val dfsBase = idx.termDfs(distinctTerms)
+    val supCounts: Map[Long, Long] =
+      if (superseded.isEmpty || !baseExists) Map.empty
+      else {
+        val supDf = spark.createDataset(superseded.toSeq).toDF("doc_id")
+        spark.read.parquet(s"$indexPath/forward")
+          .join(broadcast(supDf), Seq("doc_id"), "left_semi")
+          .select(explode($"terms").as("term"))
+          .where($"term".isin(distinctTerms.map(Long.box): _*))
+          .groupBy($"term").count().as[(Long, Long)].collect().toMap
+      }
+    val emb = embedder
+    val qset = distinctTerms.toSet
+    val deltaCands: Dataset[Posting] =
+      if (!hasDeltas) spark.emptyDataset[Posting]
+      else deltaLive.mapPartitions { it =>
+        it.flatMap { case (docId, contents) =>
+          val (terms, tfs, dl) = emb.termFrequencies(contents)
+          terms.indices.collect { case i if qset.contains(terms(i)) => Posting(docId, terms(i), tfs(i), dl) }
+        }
+      }.persist()
+    try {
+      val deltaCounts: Map[Long, Long] =
+        if (!hasDeltas) Map.empty
+        else deltaCands.groupBy($"term").agg(countDistinct($"doc_id").as("df"))
+          .as[(Long, Long)].collect().toMap
+      val baseN = idx.manifest.nDocs
+      val nLive = if (!hasDeltas) baseN else liveN(baseN, supersededIds, deltaLive.count())
+      val dfLive: Map[Long, Long] = distinctTerms.iterator.map { t =>
+        t -> (dfsBase.getOrElse(t, 0L) - supCounts.getOrElse(t, 0L) + deltaCounts.getOrElse(t, 0L))
+      }.toMap
+      if (dfLive.values.forall(_ <= 0L)) return Some(Seq.empty)
+      val idfs: Map[Long, Float] = distinctTerms.iterator.map { t =>
+        t -> graft.bm25.Bm25Math.idf(nLive, dfLive(t))
+      }.toMap
+
+      // ---- base side: block-max WAND with live idfs, superseded excluded
+      val present = distinctTerms.filter(dfsBase.contains)
+      val baseHits: Array[(Long, Float)] =
+        if (present.isEmpty) Array.empty
+        else idx.wandTopKLive(qOcc, present, idfs, k, superseded, Some(wandSkippedBlocks))
+          .orderBy($"score".desc, $"doc_id".asc).limit(k)
+          .as[ScoredDoc].collect().map(h => (h.doc_id, h.score))
+
+      // ---- delta side: exhaustive f32 fold over the (small) delta docs --
+      val qOccL = qOcc
+      val idfB = idfs
+      val deltaHits: Array[(Long, Float)] =
+        if (!hasDeltas) Array.empty
+        else deltaCands.groupByKey(_.doc_id).mapGroups { (docId, ps) =>
+          val values = new java.util.HashMap[Long, Float](16)
+          ps.foreach(p => values.putIfAbsent(p.term, emb.weight(p.tf, p.dl)))
+          var score = 0.0f
+          var i = 0
+          while (i < qOccL.length) {
+            val v = values.get(qOccL(i))
+            if (v != 0.0f) score += idfB(qOccL(i)) * v
+            i += 1
+          }
+          ScoredDoc(docId, score)
+        }.orderBy($"score".desc, $"doc_id".asc).limit(k)
+          .as[ScoredDoc].collect().map(h => (h.doc_id, h.score))
+
+      // a doc lives on exactly one side (superseded base docs are excluded),
+      // so a plain merge is exact
+      Some((baseHits ++ deltaHits)
+        .sortBy { case (id, s) => (-s, id) }
+        .take(k).toSeq)
+    } finally { deltaCands.unpersist(): Unit }
   }
 
   /** Distributed compaction: with an existing base, folds pending deltas in

@@ -34,7 +34,8 @@ final class Bm25Index(spark: SparkSession, val indexDir: String,
                       customTokenizer: Option[TextTokenizer] = None,
                       k1: Float = 1.2f, b: Float = 0.75f,
                       customHasher: Option[graft.bm25.TokenHasher] = None,
-                      wandRangesPerShard: Int = 0) extends Serializable {
+                      wandRangesPerShard: Int = 0,
+                      avgdlOverride: Option[Float] = None) extends Serializable {
   import spark.implicits._
 
   val manifest: IndexManifest = IndexManifest.read(indexDir)
@@ -53,7 +54,7 @@ final class Bm25Index(spark: SparkSession, val indexDir: String,
         s"index was built with hasher '${manifest.hasher}'; pass it to Bm25Index explicitly"))
   }
 
-  val params: Bm25Params = Bm25Params(k1, b, manifest.avgdl)
+  val params: Bm25Params = Bm25Params(k1, b, avgdlOverride.getOrElse(manifest.avgdl))
   private val embedder = new Embedder(params, tokenizer, hasher)
 
   def nDocs: Long = manifest.nDocs
@@ -124,7 +125,7 @@ final class Bm25Index(spark: SparkSession, val indexDir: String,
         val present = distinctTerms.filter(dfs.contains)
         if (present.isEmpty) return spark.emptyDataset[ScoredDoc]
         val idfs = distinctTerms.iterator.map(t => t -> idf(dfs.getOrElse(t, 0L))).toMap
-        wandTopK(qOcc, present, idfs, limit.get)
+        wandTopK(qOcc, present, idfs, limit.get, Set.empty, None)
       case _ =>
         exhaustive(qOcc, distinctTerms)
     }
@@ -179,11 +180,25 @@ final class Bm25Index(spark: SparkSession, val indexDir: String,
     * pruning is conservative, so results are rank- and bit-identical to the
     * exhaustive scorer (asserted in Bm25IndexSpec).
     */
+  /** Public live-view entry: block-max WAND over the BASE postings with
+    * caller-supplied idfs (live df/N) and a set of excluded (superseded)
+    * doc ids — the engine's between-compactions search path. `skipAcc`
+    * counts pruned blocks (test instrumentation).
+    */
+  private[graft] def wandTopKLive(qOcc: Array[Long], present: Array[Long],
+                                  idfs: Map[Long, Float], k: Int,
+                                  exclude: Set[Long],
+                                  skipAcc: Option[org.apache.spark.util.LongAccumulator]): Dataset[ScoredDoc] =
+    wandTopK(qOcc, present, idfs, k, exclude, skipAcc)
+
   private def wandTopK(qOcc: Array[Long], present: Array[Long],
-                       idfs: Map[Long, Float], k: Int): Dataset[ScoredDoc] = {
+                       idfs: Map[Long, Float], k: Int,
+                       exclude: Set[Long],
+                       skipAcc: Option[org.apache.spark.util.LongAccumulator]): Dataset[ScoredDoc] = {
     val emb = embedder
     val qOccB = spark.sparkContext.broadcast(qOcc)
     val idfB = spark.sparkContext.broadcast(idfs)
+    val exclB = spark.sparkContext.broadcast(exclude)
     // Query-token multiplicity: the score fold adds idf·weight once per
     // occurrence in qOcc (scorer.rs:109-123), so a term repeated m times
     // contributes m× — bounds must scale by m or block skips are unsafe.
@@ -305,7 +320,10 @@ final class Bm25Index(spark: SparkSession, val indexDir: String,
           docs = null
           while (bi < blocksIn.size && docs == null) {
             if (threshold != Double.NegativeInfinity &&
-                (blockBound(bi) + residual) * pad < threshold) { bi += 1 } // skip whole block
+                (blockBound(bi) + residual) * pad < threshold) {
+              bi += 1 // skip whole block without decoding
+              skipAcc.foreach(_.add(1L))
+            }
             else {
               val (_, cnt, _, _, d, t, l) = blocksIn.get(bi)
               docs = PostingCodec.decodeDeltas(d, cnt)
@@ -349,11 +367,18 @@ final class Bm25Index(spark: SparkSession, val indexDir: String,
         // doc-at-a-time merge
         val weights = new java.util.HashMap[Long, Float](cursors.size * 2)
         var done = false
+        val excluded = exclB.value
         while (!done) {
           var minDoc = Long.MaxValue
           cursors.forEach { c => if (c.hasCurrent && c.currentDoc < minDoc) minDoc = c.currentDoc }
           if (minDoc == Long.MaxValue) done = true
-          else {
+          else if (excluded.contains(minDoc)) {
+            // superseded doc: advance past it without scoring
+            val thr = threshold
+            cursors.forEach { c =>
+              if (c.hasCurrent && c.currentDoc == minDoc) c.advance(thr)
+            }
+          } else {
             weights.clear()
             val thr = threshold
             cursors.forEach { c =>

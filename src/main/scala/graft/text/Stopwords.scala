@@ -67,7 +67,7 @@ object Stopwords {
     "seinem", "seinen", "seiner", "seines", "selbst", "sich", "sie", "ihnen",
     "sind", "so", "solche", "solchem", "solchen", "solcher", "solches",
     "soll", "sollte", "sondern", "sonst", "über", "um", "und", "uns",
-    "unsere", "unserem", "unseren", "unser", "unseres", "unter", "viel",
+    "unse", "unsem", "unsen", "unser", "unses", "unter", "viel",
     "vom", "von", "vor", "während", "war", "waren", "warst", "was", "weg",
     "weil", "weiter", "welche", "welchem", "welchen", "welcher", "welches",
     "wenn", "werde", "werden", "wie", "wieder", "will", "wir", "wird",

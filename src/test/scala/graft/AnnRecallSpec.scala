@@ -1,19 +1,37 @@
 package graft
 
-/** The recall gate for the IVF ANN path: with trained centroids (K=16,
-  * 5 Lloyd rounds) and nprobe=4, the approximate top-10 must recover ≥ 90%
-  * of the exact brute-force top-10 (sim_cosine_topk) for the same query
-  * vector. This is the check that distinguishes a real IVF from a stub.
+/** The recall gate for the IVF ANN path: with √n trained centroids
+  * (5 Lloyd rounds) and nprobe=⌈√K⌉, the approximate top-10 must recover
+  * ≥ 90% of the exact brute-force top-10 (sim_cosine_topk) for the same
+  * query vector — at BOTH test scales, so the K/nprobe scaling rule is
+  * exercised, not just one tuned configuration. This is the check that
+  * distinguishes a real IVF from a stub.
   */
 class AnnRecallSpec extends SparkTestBase {
 
-  test("sim_ann_ivf recall@10 ≥ 0.9 vs exact brute-force top-k") {
-    val sf = "/root/testdata/sf0.001"
+  private def recallAt(sf: String): Double = {
     val exact = Queries.all("sim_cosine_topk")(spark, sf)
       .collect().take(10).map(_.getLong(0)).toSet
     val ann = Queries.all("sim_ann_ivf")(spark, sf)
       .collect().map(_.getLong(0)).toSet
-    val recall = exact.intersect(ann).size.toDouble / 10.0
-    assert(recall >= 0.9, s"recall@10 = $recall (ann=$ann exact=$exact)")
+    exact.intersect(ann).size.toDouble / 10.0
+  }
+
+  test("sim_ann_ivf recall@10 ≥ 0.9 vs exact brute-force top-k (sf0.001)") {
+    val r = recallAt("/root/testdata/sf0.001")
+    assert(r >= 0.9, s"recall@10 = $r at sf0.001")
+  }
+
+  test("sim_ann_ivf recall@10 ≥ 0.9 vs exact brute-force top-k (sf0.01)") {
+    val r = recallAt("/root/testdata/sf0.01")
+    assert(r >= 0.9, s"recall@10 = $r at sf0.01")
+  }
+
+  test("K and nprobe scale with n (√n / √K defaults)") {
+    import org.apache.spark.sql.functions._
+    val n = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+      .agg(count(lit(1))).head().getLong(0)
+    val k = math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt)
+    assert(k > 16, s"sf0.01 should exceed the K floor (n=$n, k=$k)")
   }
 }

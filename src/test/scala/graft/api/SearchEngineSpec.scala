@@ -203,6 +203,38 @@ class SearchEngineSpec extends SparkTestBase {
     }
   }
 
+  test("limited search runs WAND over the live view: bit-exact vs exhaustive, blocks skipped") {
+    import spark.implicits._
+    // Enough docs + tiny blocks that hot terms span many posting blocks, so
+    // the live-WAND path has real skip opportunities even with deltas.
+    val words = Array("merge", "join", "sort", "spark", "key", "fast", "scan",
+      "row", "hash", "window")
+    val docs = (0 until 300).map { i =>
+      val rnd = new scala.util.Random(i)
+      Doc(s"d$i", Seq.fill(5 + rnd.nextInt(8))(words(rnd.nextInt(words.length))).mkString(" "))
+    }
+    val eng = SearchEngine.open(spark, tmpDir("wandlive"))
+    eng.upsertBatch(docs.toDS())
+    eng.buildBase(graft.index.IndexBuildConfig(numShards = 2, shardGroups = 1, blockSize = 8))
+    // nonempty delta: removals + updates + new docs
+    eng.removeBatch(Seq("d7", "d13", "d100").toDS())
+    eng.upsertBatch(Seq(Doc("d5", "merge join catalyst"),
+      Doc("dx", "merge fast window row"), Doc("dy", "join join sort")).toDS())
+
+    for (q <- Seq("merge join", "spark window", "sort fast key", "join")) {
+      // expected = the exhaustive live scorer (unlimited path), same order
+      val exp = eng.search(q, None).take(5)
+      val got = eng.search(q, Some(5))
+      assert(got.map(_.id) === exp.map(_.id), s"query '$q' ids")
+      got.zip(exp).foreach { case (g, e) =>
+        assert(java.lang.Float.floatToRawIntBits(g.score) ===
+          java.lang.Float.floatToRawIntBits(e.score), s"query '$q' doc ${g.id}")
+      }
+    }
+    assert(eng.wandSkippedBlocks.value > 0L,
+      "live-WAND should have pruned at least one block with a nonempty delta")
+  }
+
   test("compaction preserves search results exactly") {
     val base = Seq(
       Doc("a", "spark shuffle join"), Doc("b", "shuffle sort merge"),
