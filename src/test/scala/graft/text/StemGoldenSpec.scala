@@ -3,24 +3,23 @@ package graft.text
 import graft.tools.StemDump
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Oracle-generated golden vectors for 14 Snowball stemmers: 400 probe
+/** Oracle-generated golden vectors for 16 Snowball stemmers: 400 probe
   * words per language (inflection grids + random alphabet strings from
-  * scripts/gen_stemwords.py), stemmed with the system libstemmer
-  * (Snowball 2.2.0) via scripts/sb_oracle.py. The full probe corpora
-  * (3k-9.5k words per language) pass with ZERO mismatches as of round 3
+  * scripts/gen_stemwords.py, plus adversarial prefix/suffix composites for
+  * Arabic), stemmed with the system libstemmer (Snowball 2.2.0) via
+  * scripts/sb_oracle.py. The full probe corpora (3k-30k words per
+  * language) pass with ZERO mismatches as of round 4
   * (scripts/stem_parity.sh); these baked vectors keep that bar in CI.
   *
-  * Known, documented divergences from libstemmer 2.2 (excluded from the
+  * Known, documented divergence from libstemmer 2.2 (excluded from the
   * vectors because the reference pins rust-stemmers 1.2.0 ≈ Snowball 2.0):
-  *   - French ë/ï words (Snowball 2.1 added 'He'/'Hi' trema handling);
-  *   - 4 of 4787 Greek probe words (multi-step suffix interactions the
-  *     single-pass port does not chain; excluded from the baked vectors).
+  * French ë/ï words (Snowball 2.1 added 'He'/'Hi' trema handling).
   */
 class StemGoldenSpec extends AnyFunSuite {
 
   private val langs = Seq("danish", "norwegian", "swedish", "dutch",
     "english", "german", "french", "spanish", "italian", "portuguese",
-    "russian", "romanian", "hungarian", "turkish", "greek")
+    "russian", "romanian", "hungarian", "turkish", "greek", "arabic")
 
   for (lang <- langs) test(s"$lang matches libstemmer golden vectors (400)") {
     val stemmer = StemDump.stemmerFor(lang)
