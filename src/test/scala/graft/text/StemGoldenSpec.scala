@@ -3,7 +3,7 @@ package graft.text
 import graft.tools.StemDump
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Oracle-generated golden vectors for 16 Snowball stemmers: 400 probe
+/** Oracle-generated golden vectors for 17 Snowball stemmers: 400 probe
   * words per language (inflection grids + random alphabet strings from
   * scripts/gen_stemwords.py, plus adversarial prefix/suffix composites for
   * Arabic), stemmed with the system libstemmer (Snowball 2.2.0) via
@@ -19,7 +19,7 @@ class StemGoldenSpec extends AnyFunSuite {
 
   private val langs = Seq("danish", "norwegian", "swedish", "dutch",
     "english", "german", "french", "spanish", "italian", "portuguese",
-    "russian", "romanian", "hungarian", "turkish", "greek", "arabic")
+    "russian", "romanian", "hungarian", "turkish", "greek", "arabic", "tamil")
 
   for (lang <- langs) test(s"$lang matches libstemmer golden vectors (400)") {
     val stemmer = StemDump.stemmerFor(lang)
