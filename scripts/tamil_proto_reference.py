@@ -21,7 +21,7 @@ def rep(w,n):
 def fix_ending_once(w,mode='x'):
     c=w.c
     if len(c)<=3: return False
-    if mode in ('psup',) and len(c)<=4: return False
+    if mode in ('psup','plural') and len(c)<=4: return False
     s=''.join(c)
     def e(x): return s.endswith(x)
     if e('ந'+V+'த'+V): del c[-4:]; return True
@@ -42,7 +42,7 @@ def fix_ending_once(w,mode='x'):
     if e('ுக'+V): del c[-3:]; c.append(V); return True
     if e('ுங'+V): del c[-3:]; c.append(V); return True
     if e('த'+V+'த'+'ு'): del c[-4:]; return True
-    if mode in ('common','vet','tense','plural','command') and e('ட'+'ும'+V): rep(w,4); return True
+    if mode in ('common','vet','tense','plural','command') and e('ட'+'ும'+V): rep(w,4); return True  # not in hard/psup/initial/q/um
     if mode in ('common','vet','tense','plural','command'):
         for cc in ('த','க','ற'):
             if e(cc+'ும'+V): del c[-4:]; return True
@@ -85,7 +85,8 @@ TENSE=[]
 def T(s,a,c=None,aux=False): TENSE.append((s,a,c,aux))
 T('கொண'+V+'டிர'+V,'d'); T('தான','d',aux=True); T('படு','d',aux=True)
 T('மின'+V,'d'); T('மார'+V,'d'); T('னென'+V,'d')
-for x in ['னான'+V,'னாள'+V,'னார'+V,'னன'+V,'வன'+V,'வள'+V,'னர'+V,'னள'+V,'பன'+V,'பள'+V,'பர'+V,'னம'+V,'பம'+V]: T(x,'d')
+for x in ['னான'+V,'னாள'+V,'னார'+V,'னன'+V,'வள'+V,'னர'+V,'னள'+V,'பன'+V,'பள'+V,'பர'+V,'னம'+V,'பம'+V]: T(x,'d')
+T('வன'+V,'d','nvow')
 T('னை','d'); T('வர'+V,'d')
 T('கு','d','vq'); T('ிற'+V+'று','d')
 T('து','d','t8',aux=True); T('னு','d','t8')
@@ -113,7 +114,7 @@ def stem(word):
         if w.c[-1] in ('ோ','ே','ா'): w.c[-1]=V
         fix_endings(w,mode='q')
     if len(w.c)>4:
-        if ''.join(w.c[-3:])=='ும'+V: rep(w,3); fix_ending_once(w,mode='um')
+        if ''.join(w.c[-3:])=='ும'+V: rep(w,3); fix_endings(w,mode='um')
     if len(w.c)>4:
         s=''.join(w.c); m=None
         for suf in COMMON_P:
@@ -129,6 +130,9 @@ def stem(word):
         if len(w.c)>4:
             if ''.join(w.c[-2:])=='வ'+'ீ': del w.c[-2:]
             elif w.c[-1]=='ீ': w.c[-1]='ி'
+    if len(w.c)>4 and ''.join(w.c[-3:])=='ுடை':
+        rep(w,3); w.vflag=True
+        fix_endings(w,mode='vet')
     if len(w.c)>4:
         s=''.join(w.c); m=None
         for suf,mode in VET:
@@ -155,17 +159,17 @@ def stem(word):
             matched=True; suppress=True
         elif s.endswith('ட'+V+'கள'+V):
             del w.c[-5:]
-            if w.c and w.c[-1]!=V: w.c.extend(['ள',V])
-            else: suppress=True; hardfix=True
+            if w.c and w.c[-1]==V: suppress=True; hardfix=True
+            w.c.extend(['ள',V])
             matched=True
         elif s.endswith('ற'+V+'கள'+V):
             del w.c[-5:]
-            if w.c and w.c[-1]!=V: w.c.extend(['ல',V])
-            else: suppress=True; hardfix=True
+            if w.c and w.c[-1]==V: suppress=True; hardfix=True
+            w.c.extend(['ல',V])
             matched=True
         elif s.endswith('கள'+V): del w.c[-3:]; matched=True
-        if matched: fix_endings(w,mode=('plural' if hardfix else 'psup') if suppress else 'plural')
-    if len(w.c)>4:
+        if matched: fix_endings(w,mode=('hard' if hardfix else 'psup') if suppress else 'plural')
+    if len(w.c)>4 and not suppress:
         s=''.join(w.c)
         if s.endswith('ுக'+V+'கு'):
             rep(w,5); fix_endings(w,mode='command')
@@ -189,6 +193,7 @@ def tense(w):
             if cond=='am2' and (i>=1 and w.c[i-1]==V): continue
             if cond=='plet' and not (i>=0 and w.c[i] in LET): continue
             if cond=='en2' and (i>=1 and w.c[i-1]==V): continue
+            if cond=='nvow' and (i>=0 and w.c[i] in VOW): continue
             if best is None or len(suf)>len(best[0]): best=(suf,act,cond,aux)
         if not best: break
         suf,act,cond,aux=best
@@ -203,7 +208,7 @@ def tense(w):
         else:
             del w.c[-len(suf):]
             if cond!='weak': loop=True
-        if aux:
+        if aux and len(w.c)>4:
             s2=''.join(w.c); cl=None
             for (cs,kind) in CLAUSE:
                 if not s2.endswith(cs): continue

@@ -6,7 +6,7 @@ package graft.text.stem
   *
   * Reconstructed rule-for-rule against the system libstemmer oracle
   * (Snowball 2.2.0): zero mismatches on the 1,313-word reference probe
-  * corpus and 98.9% exact on a 30,000-word adversarial random probe (the
+  * corpus and 99.0% exact on a 30,000-word adversarial random probe (the
   * residue is degenerate random suffix juxtapositions and words containing
   * unassigned Tamil-block codepoints; see COVERAGE.md). Under default
   * normalization Tamil script transliterates to Latin before stemming, so
@@ -36,7 +36,7 @@ object TamilStemmer extends Stemmer {
   // fix chain call-site modes
   private final val MInit = 0; private final val MQ = 1; private final val MUm = 2
   private final val MCommon = 3; private final val MVet = 4; private final val MPlural = 5
-  private final val MPsup = 6; private final val MCommand = 7; private final val MTense = 8
+  private final val MPsup = 6; private final val MCommand = 7; private final val MTense = 8; private final val MHard = 9
 
   private final class W(word: String) {
     val b = new StringBuilder(word)
@@ -62,14 +62,15 @@ object TamilStemmer extends Stemmer {
 
   // tense rule actions / conditions
   private final val AD = 0; private final val AV = 1; private final val AAa = 2; private final val AK = 3
-  private final val CNone = 0; private final val CVq = 1; private final val CT8 = 2; private final val CEn2 = 3
+  private final val CNone = 0; private final val CVq = 1; private final val CT8 = 2; private final val CEn2 = 3; private final val CNvow = 4
   private final case class TR(suf: String, act: Int, cond: Int, aux: Boolean)
   private val Tense: Array[TR] = {
     val l = Array.newBuilder[TR]
     def t(s: String, a: Int, c: Int = CNone, aux: Boolean = false): Unit = l += TR(s, a, c, aux)
     t("கொண்டிர்", AD); t("தான", AD, aux = true); t("படு", AD, aux = true)
     t("மின்", AD); t("மார்", AD); t("னென்", AD)
-    for (x <- Array("னான்", "னாள்", "னார்", "னன்", "வன்", "வள்", "னர்", "னள்", "பன்", "பள்", "பர்", "னம்", "பம்")) t(x, AD)
+    for (x <- Array("னான்", "னாள்", "னார்", "னன்", "வள்", "னர்", "னள்", "பன்", "பள்", "பர்", "னம்", "பம்")) t(x, AD)
+    t("வன்", AD, CNvow)
     t("னை", AD); t("வர்", AD)
     t("கு", AD, CVq); t("ிற்று", AD)
     t("து", AD, CT8, aux = true); t("னு", AD, CT8)
@@ -110,7 +111,7 @@ object TamilStemmer extends Stemmer {
   private def fixOnce(w: W, mode: Int): Boolean = {
     val c = w.b; val n = w.len
     if (n <= 3) return false
-    if (mode == MPsup && n <= 4) return false
+    if ((mode == MPsup || mode == MPlural) && n <= 4) return false
     def last = c.charAt(n - 1)
     if (w.ends("ந்த்")) { w.del(4); return true }
     if (w.ends("ந்த")) { w.del(3); return true }
@@ -179,7 +180,7 @@ object TamilStemmer extends Stemmer {
       fixAll(w, MQ)
     }
     if (w.len > 4) {
-      if (w.ends("ும்")) { w.rep(3); fixOnce(w, MUm) }
+      if (w.ends("ும்")) { w.rep(3); fixAll(w, MUm) }
     }
     if (w.len > 4) { // common word endings: one longest match, then fix + ீ clause
       var best: String = null; var bestRep = false
@@ -202,6 +203,9 @@ object TamilStemmer extends Stemmer {
         if (w.ends("வீ")) w.del(2)
         else if (w.b.charAt(w.len - 1) == 'ீ') w.b.setCharAt(w.len - 1, 'ி')
       }
+    }
+    if (w.len > 4 && w.ends("ுடை")) { // genitive pre-block: can stack under another case ending
+      w.rep(3); w.vflag = true; fixAll(w, MVet)
     }
     if (w.len > 4) { // vetrumai urupukal
       var best: String = null; var bestMode = 0
@@ -231,18 +235,18 @@ object TamilStemmer extends Stemmer {
         w.del(3); matched = true; suppress = true
       } else if (w.ends("ட்கள்")) {
         w.del(5)
-        if (w.len > 0 && w.b.charAt(w.len - 1) != V) w.b.append("ள்")
-        else { suppress = true; hardfix = true }
+        if (w.len > 0 && w.b.charAt(w.len - 1) == V) { suppress = true; hardfix = true }
+        w.b.append("ள்")
         matched = true
       } else if (w.ends("ற்கள்")) {
         w.del(5)
-        if (w.len > 0 && w.b.charAt(w.len - 1) != V) w.b.append("ல்")
-        else { suppress = true; hardfix = true }
+        if (w.len > 0 && w.b.charAt(w.len - 1) == V) { suppress = true; hardfix = true }
+        w.b.append("ல்")
         matched = true
       } else if (w.ends("கள்")) { w.del(3); matched = true }
-      if (matched) fixAll(w, if (suppress && !hardfix) MPsup else MPlural)
+      if (matched) fixAll(w, if (suppress) { if (hardfix) MHard else MPsup } else MPlural)
     }
-    if (w.len > 4) { // command suffixes
+    if (w.len > 4 && !suppress) { // command suffixes
       if (w.ends("ுக்கு")) { w.rep(5); fixAll(w, MCommand) }
       else if (w.ends("பி") || w.ends("வி")) { w.del(2); fixAll(w, MCommand) }
     }
@@ -265,6 +269,7 @@ object TamilStemmer extends Stemmer {
             case CVq => pi >= 0 && w.b.charAt(pi) == V
             case CT8 => !(pi >= 0 && isSign8(w.b.charAt(pi)))
             case CEn2 => !(pi >= 1 && w.b.charAt(pi - 1) == V)
+            case CNvow => !(pi >= 0 && isVow(w.b.charAt(pi)))
             case _ => true
           }
           if (ok && (best == null || r.suf.length > best.suf.length)) best = r
@@ -280,7 +285,7 @@ object TamilStemmer extends Stemmer {
         case AV => w.rep(best.suf.length); loop = true
         case _ => w.del(best.suf.length); loop = true
       }
-      if (best.aux) { // clause: one longest conditioned match
+      if (best.aux && w.len > 4) { // clause: one longest conditioned match
         var cl: (String, Int) = null
         for ((cs, kind) <- Clause) {
           if (w.ends(cs)) {
