@@ -99,7 +99,7 @@ for ssg in ['ன','த','க','ப','ய','வ']: T(ssg,'d')
 KIRA=['நின'+V+'ற'+V,'கின'+V+'ற'+V,'கிற'+V]
 CLAUSE=[(cc+'ும'+V,'cum') for cc in ['க','த','ட','ற']]
 CLAUSE+= [('ிருந'+V+'து','vet'),('ின'+V+'று','vet'),('ால'+V,'vet'),('ில'+V,'vet'),('ின'+V,'vet'),('ொடு','vet'),('ோடு','vet'),('ுடை','vet'),('ுள'+V,'vet'),('விட','vet'),('ிடம'+V,'vet'),('ல'+V,'vet')]
-CLAUSE+= [('ட'+V+'கள'+V,'tkal'),('ற'+V+'கள'+V,'rkal'),('கள'+V,'kal'),('வ'+'ீ','vii'),('படி','padi'),('கண'+V,'pp'),('முன'+V,'pp'),('மேல'+V,'pp'),('மேற'+V,'pp'),('கீழ'+V,'pp'),('பின'+V,'pp')]
+CLAUSE+= [('ட'+V+'கள'+V,'tkal'),('ற'+V+'கள'+V,'rkal'),('கள'+V,'kal'),('வ'+'ீ','vii'),('கண'+V,'pp'),('முன'+V,'pp'),('மேல'+V,'pp'),('மேற'+V,'pp'),('கீழ'+V,'pp'),('பின'+V,'pp')]
 CLAUSE+= [('னை','nai'),('ை','ai'),('ீ','ii')]
 
 def stem(word):
@@ -208,13 +208,15 @@ def tense(w):
         else:
             del w.c[-len(suf):]
             if cond!='weak': loop=True
+        if aux and (not w.vflag) and ''.join(w.c[-3:])=='படி':
+            del w.c[-3:]
         if aux and len(w.c)>4:
             s2=''.join(w.c); cl=None
             for (cs,kind) in CLAUSE:
                 if not s2.endswith(cs): continue
                 i=len(w.c)-len(cs)-1
                 if kind=='cum' and (i<0 or w.c[i]!=V): continue
-                if kind=='vet' and (i>=0 and w.c[i] in SIGNS8): continue
+                if kind=='vet' and cs[0] in SIGNS8 and (i>=0 and w.c[i] in SIGNS8): continue
                 if kind=='padi' and w.vflag: continue
                 if kind=='ai' and not ai_cond(w.c,1): continue
                 if cl is None or len(cs)>len(cl[0]): cl=(cs,kind)

@@ -6,7 +6,7 @@ package graft.text.stem
   *
   * Reconstructed rule-for-rule against the system libstemmer oracle
   * (Snowball 2.2.0): zero mismatches on the 1,313-word reference probe
-  * corpus and 99.0% exact on a 30,000-word adversarial random probe (the
+  * corpus and 99.1% exact on a 30,000-word adversarial random probe (the
   * residue is degenerate random suffix juxtapositions and words containing
   * unassigned Tamil-block codepoints; see COVERAGE.md). Under default
   * normalization Tamil script transliterates to Latin before stemming, so
@@ -85,13 +85,13 @@ object TamilStemmer extends Stemmer {
   private val Kira = Array("நின்ற்", "கின்ற்", "கிற்")
   // clause kinds
   private final val KCum = 0; private final val KVet = 1; private final val KTkal = 2; private final val KRkal = 3
-  private final val KKal = 4; private final val KVii = 5; private final val KPadi = 6; private final val KPp = 7
+  private final val KKal = 4; private final val KVii = 5; private final val KPp = 7
   private final val KNai = 8; private final val KAi = 9; private final val KIi = 10
   private val Clause: Array[(String, Int)] = Array(
     "கும்" -> KCum, "தும்" -> KCum, "டும்" -> KCum, "றும்" -> KCum,
     "ிருந்து" -> KVet, "ின்று" -> KVet, "ால்" -> KVet, "ில்" -> KVet, "ின்" -> KVet, "ொடு" -> KVet,
     "ோடு" -> KVet, "ுடை" -> KVet, "ுள்" -> KVet, "விட" -> KVet, "ிடம்" -> KVet, "ல்" -> KVet,
-    "ட்கள்" -> KTkal, "ற்கள்" -> KRkal, "கள்" -> KKal, "வீ" -> KVii, "படி" -> KPadi,
+    "ட்கள்" -> KTkal, "ற்கள்" -> KRkal, "கள்" -> KKal, "வீ" -> KVii,
     "கண்" -> KPp, "முன்" -> KPp, "மேல்" -> KPp, "மேற்" -> KPp, "கீழ்" -> KPp, "பின்" -> KPp,
     "னை" -> KNai, "ை" -> KAi, "ீ" -> KIi)
 
@@ -285,6 +285,7 @@ object TamilStemmer extends Stemmer {
         case AV => w.rep(best.suf.length); loop = true
         case _ => w.del(best.suf.length); loop = true
       }
+      if (best.aux && !w.vflag && w.ends("படி")) w.del(3) // auxiliary paDi strip (blocked once a case ending fired)
       if (best.aux && w.len > 4) { // clause: one longest conditioned match
         var cl: (String, Int) = null
         for ((cs, kind) <- Clause) {
@@ -292,8 +293,7 @@ object TamilStemmer extends Stemmer {
             val pi = w.len - cs.length - 1
             val ok = kind match {
               case KCum => pi >= 0 && w.b.charAt(pi) == V
-              case KVet => !(pi >= 0 && isSign8(w.b.charAt(pi)))
-              case KPadi => !w.vflag
+              case KVet => !(isSign8(cs.charAt(0)) && pi >= 0 && isSign8(w.b.charAt(pi)))
               case KAi => aiCond(w, 1)
               case _ => true
             }
@@ -310,7 +310,6 @@ object TamilStemmer extends Stemmer {
               w.del(5); if (w.len > 0 && w.b.charAt(w.len - 1) != V) w.b.append("ல்")
             case KKal => w.del(3)
             case KVii => w.del(2)
-            case KPadi => w.del(3)
             case KPp => w.del(cs.length)
             case KNai => w.del(2)
             case KAi => w.rep(1); w.vflag = true
