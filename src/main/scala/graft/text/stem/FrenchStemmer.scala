@@ -30,7 +30,10 @@ object FrenchStemmer extends Stemmer {
     "as", "a")
 
   def stem(word: String): String = {
-    if (word.length < 2) return word
+    if (word.length < 2)
+      return word.map { // the postlude unmarks stray U/I/Y even on 1-char input
+        case 'U' => 'u'; case 'I' => 'i'; case 'Y' => 'y'; case c => c
+      }
     val sb = new StringBuilder(word)
     // prelude — `repeat goto(...)`, alternatives tried IN ORDER at each
     // position (so in "yia" the leading y acts as the v-prefix and the i is
@@ -43,12 +46,13 @@ object FrenchStemmer extends Stemmer {
       if (isV(c) && i + 1 < sb.length) {
         val n = sb.charAt(i + 1)
         if ((n == 'u' || n == 'i') && i + 2 < sb.length && isV(sb.charAt(i + 2))) {
-          sb.setCharAt(i + 1, if (n == 'u') 'U' else 'I'); i += 3; jumped = true
+          // the trailing vowel is NOT consumed: a following y can still be marked (xaiyez → xaIYez)
+          sb.setCharAt(i + 1, if (n == 'u') 'U' else 'I'); i += 2; jumped = true
         } else if (n == 'y') { sb.setCharAt(i + 1, 'Y'); i += 2; jumped = true }
       }
       if (!jumped) {
         if (c == 'y' && i + 1 < sb.length && isV(sb.charAt(i + 1))) {
-          sb.setCharAt(i, 'Y'); i += 2
+          sb.setCharAt(i, 'Y'); i += 1 // cursor lands after the y: the following vowel can still host a mark
         } else if (c == 'q' && i + 1 < sb.length && sb.charAt(i + 1) == 'u') {
           sb.setCharAt(i + 1, 'U'); i += 2
         } else i += 1

@@ -56,11 +56,17 @@ object GreekStemmer extends Stemmer {
     def endAny(l: Seq[String]): Boolean = l.exists(ends)
     def vowelEnd: Boolean = sb.nonEmpty && Vowels.indexOf(sb.charAt(sb.length - 1)) >= 0
 
-    // ---- step 1: irregular nouns (stem replaces the whole inflected form)
+    // ---- step 1: irregular nouns — a backwards [substring] among, so the
+    //      longest matching SUFFIX is replaced (…μφως → …μφω), not only the
+    //      whole word
     locally {
       val w = sb.toString
-      Step1.get(w).foreach { r =>
-        sb.setLength(0); sb.append(r); test1 = false
+      var bk: String = null
+      Step1.keysIterator.foreach { k =>
+        if (w.endsWith(k) && (bk == null || k.length > bk.length)) bk = k
+      }
+      if (bk != null) {
+        sb.setLength(sb.length - bk.length); sb.append(Step1(bk)); test1 = false
       }
     }
 
@@ -107,7 +113,11 @@ object GreekStemmer extends Stemmer {
 
     // ---- ΙΣΤ adjectives (oracle: κλειστοι → κλειστ, πλειστοι → πλει,
     //      δανειστης → δανει; all other probed stems plain-delete)
-    if (cut(Seq("ιστοσ", "ιστου", "ιστο", "ιστα", "ιστοι", "ιστων",
+    if (cut(Seq("ιστε")) != null) { // oracle: κλειστε → κλει (unlike ιστοι!)
+      test1 = false
+      if (whole(Seq("κλε", "δανε", "σε", "ασε", "εσωκλε", "συναθρο", "πλε")))
+        sb.append("ι")
+    } else if (cut(Seq("ιστοσ", "ιστου", "ιστο", "ιστα", "ιστοι", "ιστων",
                 "ιστουσ", "ιστη", "ιστησ", "ιστεσ")) != null) {
       test1 = false
       if (whole(Seq("κλε"))) sb.append("ιστ")
@@ -378,7 +388,7 @@ object GreekStemmer extends Stemmer {
 
   /** Irregular stems (step 1 of the published algorithm). */
   private val Step1: Map[String, String] = Map(
-    "φαγια" -> "φα", "φαγιου" -> "φα", "φαγιων" -> "φα",
+    "φαγια" -> "φα", "φαγιου" -> "φα", "φαγιων" -> "φα",  // suffix-matched
     "σκαγια" -> "σκα", "σκαγιου" -> "σκα", "σκαγιων" -> "σκα",
     "ολογιου" -> "ολο", "ολογια" -> "ολο", "ολογιων" -> "ολο",
     "σογιου" -> "σο", "σογια" -> "σο", "σογιων" -> "σο",

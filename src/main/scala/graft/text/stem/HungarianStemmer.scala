@@ -114,8 +114,9 @@ object HungarianStemmer extends Stemmer {
   // owned step (oracle-derived): longest-then-R1; the bare é/éi rules also
   // absorb a preceding a/e/o/é (delete) or á (→ a) when that char is in R1
   private val ownedTable: Array[(String, String)] = Array(
-    ("oké", D), ("öké", D), ("aké", D), ("eké", D), ("áké", D),
-    ("éké", D), ("ké", D), ("ééi", D), ("áéi", D), ("éi", D), ("é", D))
+    ("oké", D), ("öké", D), ("aké", D), ("eké", D), ("áké", "a"),
+    ("éké", "e"), ("ké", D), ("ééi", "e"), ("áéi", "a"), ("éé", "e"),
+    ("éi", D), ("é", D))
 
   private val singOwner: Array[(String, String)] = Array(
     ("ünk", D), ("unk", D), ("ánk", "a"), ("énk", "e"), ("nk", D),
@@ -174,31 +175,8 @@ object HungarianStemmer extends Stemmer {
     // steps 6-9: (owned OR singular owner) — sing_owner is tried only when
     // the owned among fails (no match or R1 miss) — then plural owner, then
     // plural, each its own step
-    val ownedFired = {
-      var best: (String, String) = null
-      var k = 0
-      while (k < ownedTable.length) {
-        val t = ownedTable(k)
-        if ((best == null || t._1.length > best._1.length) && ends(t._1)) best = t
-        k += 1
-      }
-      if (best == null || sb.length - best._1.length < p1) false
-      else {
-        chop(best._1.length)
-        // try-action: absorb one preceding possessive char when in R1
-        // (the ééi/áéi rules are plain deletes — no absorption)
-        if (best._1 != "ééi" && best._1 != "áéi" &&
-            sb.nonEmpty && sb.length - 1 >= p1) {
-          sb.charAt(sb.length - 1) match {
-            case 'a' | 'e' | 'o' | 'é' | 'd' => chop(1)
-            case 'á'                         => sb.setCharAt(sb.length - 1, 'a')
-            case _                           =>
-          }
-        }
-        true
-      }
-    }
-    if (!ownedFired) amongStep(sb, p1, singOwner)
+    amongStep(sb, p1, ownedTable)
+    amongStep(sb, p1, singOwner) // runs after owned unconditionally (oracle: almajmé → almaj)
     amongStep(sb, p1, plurOwner)
     amongStep(sb, p1, pluralTable)
 

@@ -26,7 +26,11 @@ object ItalianStemmer extends Stemmer {
     "ivi", "ivo", "ono", "uta", "ute", "uti", "uto", "ar", "ir")
 
   def stem(word: String): String = {
-    if (word.length < 2) return word
+    if (word.length < 2)
+      return word.map { // the acute→grave prelude still applies
+        case 'á' => 'à'; case 'é' => 'è'; case 'í' => 'ì'; case 'ó' => 'ò'; case 'ú' => 'ù'
+        case c => c
+      }
     // prelude: acute → grave accents; i/u between vowels → I/U; qu → qU
     val sb = new StringBuilder(word.length)
     var i = 0
@@ -37,16 +41,19 @@ object ItalianStemmer extends Stemmer {
       })
       i += 1
     }
+    // qu → qU first (same among as the accent rewrites in the published
+    // prelude), so a u marked this way no longer counts as a vowel for the
+    // i/u-between-vowels marking below
+    i = 1
+    while (i < sb.length) {
+      if (sb.charAt(i) == 'u' && sb.charAt(i - 1) == 'q') sb.setCharAt(i, 'U')
+      i += 1
+    }
     i = 1
     while (i < sb.length - 1) {
       val c = sb.charAt(i)
       if ((c == 'i' || c == 'u') && isV(sb.charAt(i - 1)) && isV(sb.charAt(i + 1)))
         sb.setCharAt(i, if (c == 'i') 'I' else 'U')
-      i += 1
-    }
-    i = 1
-    while (i < sb.length) {
-      if (sb.charAt(i) == 'u' && sb.charAt(i - 1) == 'q') sb.setCharAt(i, 'U')
       i += 1
     }
 

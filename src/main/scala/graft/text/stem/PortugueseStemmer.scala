@@ -34,7 +34,8 @@ object PortugueseStemmer extends Stemmer {
     "em", "ar", "er", "ir", "as", "es", "is", "eu", "iu", "ou")
 
   def stem(word: String): String = {
-    if (word.length < 2) return word
+    if (word.length < 2)
+      return if (word == "ç") "c" else word // final-ç → c applies unconditionally
     // prelude: ã → a~, õ → o~
     val sb = new StringBuilder(word.length + 2)
     var i = 0

@@ -35,7 +35,8 @@ object RomanianStemmer extends Stemmer {
     "are", "ere", "ire", "âre", "ind", "ând", "indu", "ându", "eze",
     "ează", "ezi", "ez", "ească", "esc", "eşti", "eşte", "ăsc", "ăşti",
     "ăşte", "am", "ai", "au", "eam", "eai", "eau", "eaţi", "ia", "iam", "iai",
-    "iau", "iaţi", "ui", "âi", "aşi", "uşi", "işi", "âşi", "arăm",
+    "iau", "iaţi", "ui", "âi", "aşi", "uşi", "işi", "âşi",
+    "ară", "iră", "ură", "âră", "arăm",
     "irăm", "urăm", "ârăm", "arăţi", "irăţi", "urăţi", "ârăţi", "asem",
     "aseşi", "ase", "aserăm", "aserăţi", "aseră", "isem", "iseşi",
     "ise", "iserăm", "iserăţi", "iseră", "âsem", "âseşi", "âse",

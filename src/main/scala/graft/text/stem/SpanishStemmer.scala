@@ -56,7 +56,11 @@ object SpanishStemmer extends Stemmer {
   }
 
   def stem(word: String): String = {
-    if (word.length < 2) return word
+    if (word.length < 2)
+      return word.map { // the unconditional deaccenting postlude still applies
+        case 'á' => 'a'; case 'é' => 'e'; case 'í' => 'i'; case 'ó' => 'o'; case 'ú' => 'u'
+        case c => c
+      }
     val sb = new StringBuilder(word)
     val rv = romanceRV(sb, isV)
     val p1 = regionAfterVC(sb, 0, isV)
@@ -170,8 +174,8 @@ object SpanishStemmer extends Stemmer {
 
     // ---- Step 2a: verb suffixes beginning y (only if step 1 removed nothing)
     // `setlimit tomark pV for ([substring] among(...))`: only candidates
-    // fully inside RV compete for longest-match; the preceding-'u' test is
-    // inside the setlimit, so the u must be in RV as well
+    // fully inside RV compete for longest-match; the preceding-'u' test and
+    // the gu-u-drop actions are NOT RV-limited (oracle-verified)
     var removed2a = false
     if (!removed1) {
       val ySuf = Array("yeron", "yendo", "yamos", "yais", "yan", "yen",
@@ -184,8 +188,7 @@ object SpanishStemmer extends Stemmer {
         i += 1
       }
       if (best != null && sb.length > best.length &&
-          sb.length - best.length - 1 >= rv &&
-          sb.charAt(sb.length - best.length - 1) == 'u') {
+          sb.charAt(sb.length - best.length - 1) == 'u') { // u-test is NOT RV-limited (oracle: fxuya → fxu)
         chop(best.length)
         removed2a = true
       }
@@ -207,7 +210,7 @@ object SpanishStemmer extends Stemmer {
       }
       if (best != null) {
         chop(best.length)
-        if (bestGu && ends("gu") && inRV(1)) chop(1) // u inside RV
+        if (bestGu && ends("gu")) chop(1) // u-drop not RV-limited (oracle: oguemos → og)
       }
     }
 
