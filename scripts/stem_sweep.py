@@ -1,0 +1,84 @@
+#!/usr/bin/env python3
+"""Adversarial stemmer-parity sweep.
+
+For each language, generates ~40k random words over the language's
+alphabet (derived from its probe corpus in /tmp/stemwords/<lang>.txt)
+biased toward corpus-derived suffix/prefix fragments, stems them with the
+system libstemmer oracle (scripts/sb_oracle.py) and with the repo's
+stemmers (graft.tools.StemDump), and reports mismatches.
+
+Round-4 state: 13 alphabetic languages + Arabic at 0 mismatches; French 0
+besides the documented ë/ï Snowball-2.1 class; Turkish 4, Greek 2
+(degenerate ≤5-char vowel-run words); Tamil 274/30k (see TamilStemmer).
+
+Usage: python3 scripts/stem_sweep.py [lang ...]   (default: all)
+Requires compiled classes in target/scala-2.13/classes.
+"""
+import collections, pathlib, random, subprocess, sys
+
+REPO = pathlib.Path(__file__).resolve().parent.parent
+CORP = pathlib.Path("/tmp/stemwords")
+OUT = pathlib.Path("/tmp/stem_sweep")
+LANGS = ["danish", "norwegian", "swedish", "dutch", "english", "german",
+         "french", "spanish", "italian", "portuguese", "russian",
+         "romanian", "hungarian", "turkish", "greek", "arabic"]
+
+
+def gen(lang: str, n=40000, seed=None) -> list:
+    words = [l.split("\t")[0] for l in open(CORP / f"{lang}.txt") if l.strip()]
+    alpha = sorted(set(c for w in words for c in w))
+    ends = collections.Counter()
+    for w in words:
+        for k in (1, 2, 3, 4):
+            if len(w) > k:
+                ends[w[-k:]] += 1
+    endings = [e for e, _ in ends.most_common(200)]
+    rnd = random.Random(seed if seed is not None else hash(lang) & 0xFFFF)
+    out = set()
+    while len(out) < n:
+        L = rnd.randint(2, 16)
+        w = "".join(rnd.choice(alpha) for _ in range(L))
+        r = rnd.random()
+        if r < 0.55:
+            w = w[: max(1, L - 4)] + rnd.choice(endings)
+        elif r < 0.75:
+            w = w[: max(1, L - 6)] + rnd.choice(endings) + rnd.choice(endings)
+        out.add(w)
+    return sorted(out)
+
+
+def main() -> None:
+    langs = sys.argv[1:] or LANGS
+    OUT.mkdir(parents=True, exist_ok=True)
+    cp = f"{REPO}/target/scala-2.13/classes:" + ":".join(
+        str(p) for p in pathlib.Path("/opt/spark/jars").glob("*.jar"))
+    for lang in langs:
+        wf = OUT / f"{lang}.txt"
+        wf.write_text("\n".join(gen(lang)) + "\n")
+        orc = subprocess.run(
+            [sys.executable, str(REPO / "scripts/sb_oracle.py"), lang],
+            stdin=open(wf), capture_output=True, text=True).stdout
+        (OUT / f"{lang}.oracle").write_text(orc)
+        subprocess.run(["java", "-cp", cp, "graft.tools.StemDump", lang,
+                        str(wf), str(OUT / f"{lang}.ours")],
+                       capture_output=True)
+        n = mis = trema = 0
+        ex = []
+        for o, u in zip(open(OUT / f"{lang}.oracle"), open(OUT / f"{lang}.ours")):
+            po, pu = o.rstrip("\n").split("\t"), u.rstrip("\n").split("\t")
+            if len(po) < 2 or len(pu) < 2:
+                continue
+            n += 1
+            if po[1] != pu[1]:
+                if lang == "french" and ("ë" in po[0] or "ï" in po[0]):
+                    trema += 1
+                else:
+                    mis += 1
+                    if len(ex) < 3:
+                        ex.append((po[0], po[1], pu[1]))
+        extra = f" (+{trema} documented trema)" if trema else ""
+        print(f"{lang:11s} {mis}/{n}{extra}", *ex)
+
+
+if __name__ == "__main__":
+    main()
