@@ -198,11 +198,11 @@ object TurkishStemmer extends Stemmer {
       if (p < 0) return -1
       optU(p)
     }
-    def mark_sU(c: Int): Int = { // -sU: the s is REQUIRED and consumed, on a
-      // vowel (bare U after a consonant is mark_yU's no-y branch)
+    def mark_sU(c: Int): Int = { // -(s)U: optional buffer s (oracle: suyunu
+      // → suy — the no-s branch succeeds without touching a preceding y)
       if (!harmony(c)) return -1
       val p = one(c, "ıiuü"); if (p < 0) return -1
-      bufCons(p, 's')
+      optCons(p, 's')
     }
     def mark_lArI(c: Int): Int = { // -lArI (harmonized literal forms)
       if (!harmony(c)) return -1
@@ -577,6 +577,8 @@ object TurkishStemmer extends Stemmer {
   private def postlude(s: S): Unit = {
     val w = s.w
     if (w.isEmpty) return
+    val st = w.toString
+    if (st == "ad" || st == "soyad") return // tr.sbl reserved words: exempt from the whole postlude
     val lastC = w.charAt(w.length - 1)
     if (lastC == 'd' || lastC == 'g') {
       var i = w.length - 1
