@@ -91,8 +91,7 @@ object GreekStemmer extends Stemmer {
     }
 
     // ---- ΙΣ aorists (ισα/ισες/ισε/...)
-    if (sb.toString == "ισα") { sb.setLength(0); sb.append("ισ"); test1 = false }
-    else if (cut(Seq("ισα", "ισεσ", "ισε", "ισαμε", "ισατε", "ισαν", "ισανε")) != null) {
+    if (cut(Seq("ισα", "ισεσ", "ισε", "ισαμε", "ισατε", "ισαν", "ισανε")) != null) {
       test1 = false
       if (whole(Seq("αναμπα", "αθρο", "εμπα", "εσε", "εσωκλε", "επα",
                     "ξαναπα", "επε", "περιπα", "συναθρο", "δανε", "κλε",
@@ -267,7 +266,7 @@ object GreekStemmer extends Stemmer {
         readdV2("ετ",
           Seq("αβαρ", "βεν", "εναρ", "αβρ", "αδ", "αθ", "αν", "απλ",
               "βαρον", "ντρ", "σκ", "κοπ", "μπορ", "νιφ", "παγ", "δ", "θ",
-              "παρακαλ", "ευρ"),
+              "παρακαλ", "ευρ", "υ", "εμ", "θαρρ"),
           Seq("οδ", "αιρ", "φορ", "ταθ", "διαθ", "σχ", "ενδ", "ευρ",
               "τιθ", "υπερθ", "ραθ", "ενθ", "ροθ", "σθ", "πυρ", "αιν",
               "συνδ", "συν", "συνθ", "χωρ", "πον", "βρ", "καθ", "ευθ",
@@ -414,5 +413,9 @@ object GreekStemmer extends Stemmer {
     "ησεσ", "ησουν", "ησω", "ο", "οι", "ομουν", "ονται", "ονταν",
     "οντουσαν", "οσ", "οσασταν", "οσαστε", "οσουν", "οταν", "ου", "ουμαι",
     "ουμαστε", "ουν", "ουνται", "ουνταν", "ουσ", "ουσαν", "ουσατε", "υ",
-    "υσ", "ω", "ων", "ομασταν")
+    "υσ", "ω", "ων", "ομασταν", "ομαι",
+    "αγα", "αγε", "αγεσ", "εστε", "εων", "ηθηκα", "ηθηκε", "ηθουνε",
+    "ηκα", "ηκε", "ηκεσ", "ησα", "ησε", "ησουνε", "ηστε", "ια",
+    "ιομαστε", "ιου", "ισουν", "ιων", "ομαστε", "ομουνα", "οσουνα",
+    "ουνε")
 }

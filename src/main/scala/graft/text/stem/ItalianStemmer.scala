@@ -149,16 +149,17 @@ object ItalianStemmer extends Stemmer {
     val removed1 = sb.length != lenBefore1
 
     // ---- step 2: verb suffixes (only if step 1 removed nothing) ----------
+    // `setlimit tomark pV for ([substring] among(...))`: the longest
+    // candidate FITTING inside RV wins (cavano: avano misses RV, ano fits)
     if (!removed1) {
+      var bestLen = 0
       var j = 0
-      var found = false
-      while (!found && j < step2.length) {
-        if (ends(step2(j))) {
-          if (inRV(step2(j).length)) chop(step2(j).length)
-          found = true
-        }
+      while (j < step2.length) {
+        val c2 = step2(j)
+        if (c2.length > bestLen && ends(c2) && inRV(c2.length)) bestLen = c2.length
         j += 1
       }
+      if (bestLen > 0) chop(bestLen)
     }
 
     // ---- step 3a: final vowel (+ preceding i), in RV ---------------------
