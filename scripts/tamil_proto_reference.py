@@ -180,7 +180,7 @@ def stem(word):
     return str(w)
 
 def tense(w):
-    loop=True
+    loop=True; first=True
     while loop:
         loop=False
         if len(w.c)<=4: break
@@ -208,8 +208,9 @@ def tense(w):
         else:
             del w.c[-len(suf):]
             if cond!='weak': loop=True
-        if aux and (not w.vflag) and ''.join(w.c[-3:])=='படி':
+        if aux and first and (not w.vflag) and ''.join(w.c[-3:])=='படி':
             del w.c[-3:]
+        first=False
         if aux and len(w.c)>4:
             s2=''.join(w.c); cl=None
             for (cs,kind) in CLAUSE:

@@ -6,7 +6,7 @@ package graft.text.stem
   *
   * Reconstructed rule-for-rule against the system libstemmer oracle
   * (Snowball 2.2.0): zero mismatches on the 1,313-word reference probe
-  * corpus and 99.1% exact on a 30,000-word adversarial random probe (the
+  * corpus and 99.1% exact (264 residues) on a 30,000-word adversarial random probe (the
   * residue is degenerate random suffix juxtapositions and words containing
   * unassigned Tamil-block codepoints; see COVERAGE.md). Under default
   * normalization Tamil script transliterates to Latin before stemming, so
@@ -256,6 +256,7 @@ object TamilStemmer extends Stemmer {
 
   private def tense(w: W): Unit = {
     var loop = true
+    var first = true
     while (loop) {
       loop = false
       if (w.len <= 4) return
@@ -285,7 +286,8 @@ object TamilStemmer extends Stemmer {
         case AV => w.rep(best.suf.length); loop = true
         case _ => w.del(best.suf.length); loop = true
       }
-      if (best.aux && !w.vflag && w.ends("படி")) w.del(3) // auxiliary paDi strip (blocked once a case ending fired)
+      if (best.aux && first && !w.vflag && w.ends("படி")) w.del(3) // auxiliary paDi strip: first pass only, and not once a case ending fired
+      first = false
       if (best.aux && w.len > 4) { // clause: one longest conditioned match
         var cl: (String, Int) = null
         for ((cs, kind) <- Clause) {
