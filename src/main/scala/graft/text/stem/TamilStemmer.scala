@@ -6,11 +6,12 @@ package graft.text.stem
   *
   * Reconstructed rule-for-rule against the system libstemmer oracle
   * (Snowball 2.2.0): zero mismatches on the 1,313-word reference probe
-  * corpus and 99.1% exact (264 residues) on a 30,000-word adversarial random probe (the
-  * residue is degenerate random suffix juxtapositions and words containing
-  * unassigned Tamil-block codepoints; see COVERAGE.md). Under default
-  * normalization Tamil script transliterates to Latin before stemming, so
-  * this stemmer fires only for `normalization(false)` configs.
+  * corpus and 99.94% exact on 30,000-word adversarial random probes
+  * (12–22 residues per seed across five seeds; the residue is degenerate
+  * random suffix juxtapositions, often with non-Tamil codepoints mixed in;
+  * see COVERAGE.md). Under default normalization Tamil script
+  * transliterates to Latin before stemming, so this stemmer fires only for
+  * `normalization(false)` configs.
   *
   * Pipeline: one initial fix pass; question/pronoun prefix strip (with
   * va-start repair); question suffixes; -um; common word endings (with the
@@ -63,6 +64,7 @@ object TamilStemmer extends Stemmer {
   // tense rule actions / conditions
   private final val AD = 0; private final val AV = 1; private final val AAa = 2; private final val AK = 3
   private final val CNone = 0; private final val CVq = 1; private final val CT8 = 2; private final val CEn2 = 3; private final val CNvow = 4
+  private final val CNcha = 5
   private final case class TR(suf: String, act: Int, cond: Int, aux: Boolean)
   private val Tense: Array[TR] = {
     val l = Array.newBuilder[TR]
@@ -75,8 +77,9 @@ object TamilStemmer extends Stemmer {
     t("கு", AD, CVq); t("ிற்று", AD)
     t("து", AD, CT8, aux = true); t("னு", AD, CT8)
     for (k <- Array("ாநின்ற", "கின்ற", "கிற")) t(k, AK)
-    for (p <- Array("ான்", "ாள்", "ார்", "ேன்", "ோம்", "ேம்", "ெம்", "ாம்", "ாய்", "ீயர்", "ீர்", "னிர்")) t(p, AV)
-    t("ென", AV, CEn2, aux = true)
+    t("ான்", AV, CNcha) // blocked after ச (oracle: சான் frozen, all other C+ான் strip)
+    for (p <- Array("ாள்", "ார்", "ேன்", "ோம்", "ேம்", "ெம்", "ாம்", "ாய்", "ீயர்", "ீர்", "னிர்")) t(p, AV)
+    t("ென", AV, aux = true)
     t("வை", AD)
     t("ா", AAa)
     for (s <- Array("ன", "த", "க", "ப", "ய", "வ")) t(s, AD)
@@ -111,14 +114,13 @@ object TamilStemmer extends Stemmer {
   private def fixOnce(w: W, mode: Int): Boolean = {
     val c = w.b; val n = w.len
     if (n <= 3) return false
-    if ((mode == MPsup || mode == MPlural) && n <= 4) return false
     def last = c.charAt(n - 1)
     if (w.ends("ந்த்")) { w.del(4); return true }
     if (w.ends("ந்த")) { w.del(3); return true }
     if (w.ends("ந்")) { w.del(2); return true }
     if (w.ends("ய்") && n >= 3 && isIei(c.charAt(n - 3))) { w.del(2); return true }
     if (w.ends("த்த்")) {
-      if (w.vflag && n >= 5 && { val p = c.charAt(n - 5); p != 'ை' && p != 'ா' && p != V }) { w.del(4); c.append("ம்") }
+      if (w.vflag && (n < 5 || { val p = c.charAt(n - 5); p != 'ை' && p != 'ா' && p != V })) { w.del(4); c.append("ம்") }
       else w.del(4)
       return true
     }
@@ -127,7 +129,7 @@ object TamilStemmer extends Stemmer {
     if (w.ends("ன்ற்") || w.ends("ற்க்")) { w.del(4); c.append("ல்"); return true }
     if (w.ends("ுக்க்")) { w.del(5); c.append(V); return true }
     if (w.ends("ுக்")) { w.del(3); c.append(V); return true }
-    if (w.ends("ுங்")) { w.del(3); c.append(V); return true }
+    if (mode != MTense && w.ends("ுங்")) { w.del(3); c.append(V); return true }
     if (w.ends("த்து")) { w.del(4); return true }
     val cumOk = mode == MCommon || mode == MVet || mode == MTense || mode == MPlural || mode == MCommand
     if (cumOk && w.ends("டும்")) { w.rep(4); return true }
@@ -140,16 +142,20 @@ object TamilStemmer extends Stemmer {
       return true
     }
     if (w.ends("வ்")) { w.del(2); return true }
-    if (last == V && n >= 3 && c.charAt(n - 2) == V && isCons(c.charAt(n - 3))) { w.del(1); return true }
+    if (last == V && n >= 2 && c.charAt(n - 2) == V) { w.del(1); return true }
     if (last == V && n >= 2 && isSign8(c.charAt(n - 2))) { w.del(1); return true }
-    if (mode == MInit && w.ends("னு") && (n < 3 || !isSign8(c.charAt(n - 3)))) { w.del(2); return true }
+    if ((mode == MInit || mode == MTense) && w.ends("னு") && (n < 3 || !isSign8(c.charAt(n - 3)))) { w.del(2); return true }
     val yvOk = mode == MInit || mode == MVet || mode == MTense
     if (yvOk && last == 'ய') { w.del(1); return true }
     if (yvOk && last == 'வ') { w.del(1); return true }
     false
   }
 
-  private def fixAll(w: W, mode: Int): Unit = while (fixOnce(w, mode)) {}
+  /** The plural modes check min-length once at entry (Snowball `has_min_length`), then cascade ungated. */
+  private def fixAll(w: W, mode: Int): Unit = {
+    if ((mode == MPsup || mode == MPlural) && w.len <= 4) return
+    while (fixOnce(w, mode)) {}
+  }
 
   private def fixVaStart(w: W): Unit = {
     if (w.len >= 2 && w.b.charAt(0) == 'வ') {
@@ -180,7 +186,9 @@ object TamilStemmer extends Stemmer {
       fixAll(w, MQ)
     }
     if (w.len > 4) {
-      if (w.ends("ும்")) { w.rep(3); fixAll(w, MUm) }
+      // single fix application (Snowball `do fix_ending`, not the repeat form): an
+      // ill-formed ்ும் tail leaves one virama pair for later stages to see (or not match)
+      if (w.ends("ும்")) { w.rep(3); fixOnce(w, MUm) }
     }
     if (w.len > 4) { // common word endings: one longest match, then fix + ீ clause
       var best: String = null; var bestRep = false
@@ -197,8 +205,7 @@ object TamilStemmer extends Stemmer {
         if (w.ends(s) && (best == null || s.length > best.length)) { best = s; bestRep = false }
         i += 1
       }
-      if (best != null) { if (bestRep) w.rep(best.length) else w.del(best.length) }
-      fixAll(w, MCommon)
+      if (best != null) { if (bestRep) w.rep(best.length) else w.del(best.length); fixAll(w, MCommon) }
       if (w.len > 4) {
         if (w.ends("வீ")) w.del(2)
         else if (w.b.charAt(w.len - 1) == 'ீ') w.b.setCharAt(w.len - 1, 'ி')
@@ -224,12 +231,16 @@ object TamilStemmer extends Stemmer {
     // plural
     var suppress = false
     if (w.len > 2) {
-      var matched = false; var hardfix = false
+      var matched = false; var hardfix = false; var plainKal = false
       if (w.ends("ுங்கள்")) {
         val i = w.len - 7
         val vall = i >= 0 && isVall(w.b.charAt(i))
-        w.del(6)
-        if (vall) w.b.append("ும்") else if (w.len > 0) w.b.append(V)
+        if (vall && i == 0) { // vallinam with nothing before it: plain ங்கள் strip (oracle: சுங்கள்→சுங்)
+          w.del(3)
+        } else {
+          w.del(6)
+          if (vall) w.b.append("ும்") else w.b.append(V) // `<- '்'` appends even on an empty base
+        }
         matched = true; suppress = true
       } else if (w.ends("ங்கள்")) {
         w.del(3); matched = true; suppress = true
@@ -243,8 +254,13 @@ object TamilStemmer extends Stemmer {
         if (w.len > 0 && w.b.charAt(w.len - 1) == V) { suppress = true; hardfix = true }
         w.b.append("ல்")
         matched = true
-      } else if (w.ends("கள்")) { w.del(3); matched = true }
-      if (matched) fixAll(w, if (suppress) { if (hardfix) MHard else MPsup } else MPlural)
+      } else if (w.ends("கள்")) { w.del(3); matched = true; plainKal = true }
+      if (matched) {
+        val before = if (plainKal) w.b.toString else null
+        fixAll(w, if (plainKal) MPlural else if (hardfix) MHard else MPsup)
+        // a plain-கள் strip suppresses the tense stage only when its fix chain changed the word
+        if (plainKal && w.b.toString != before) suppress = true
+      }
     }
     if (w.len > 4 && !suppress) { // command suffixes
       if (w.ends("ுக்கு")) { w.rep(5); fixAll(w, MCommand) }
@@ -271,13 +287,14 @@ object TamilStemmer extends Stemmer {
             case CT8 => !(pi >= 0 && isSign8(w.b.charAt(pi)))
             case CEn2 => !(pi >= 1 && w.b.charAt(pi - 1) == V)
             case CNvow => !(pi >= 0 && isVow(w.b.charAt(pi)))
+            case CNcha => !(pi >= 0 && w.b.charAt(pi) == 'ச')
             case _ => true
           }
           if (ok && (best == null || r.suf.length > best.suf.length)) best = r
         }
         i += 1
       }
-      if (best == null) return
+      if (best == null) { fixAll(w, MTense); return } // the no-match tense pass still fixes (Snowball `do fix_endings`)
       best.act match {
         case AAa =>
           if (w.len >= 2 && isSign8(w.b.charAt(w.len - 2))) w.del(1) else w.rep(1)
