@@ -6,21 +6,23 @@ package graft.text.stem
   *
   * Reconstructed rule-for-rule against the system libstemmer oracle
   * (Snowball 2.2.0): zero mismatches on the 1,313-word reference probe
-  * corpus and 99.94% exact on 30,000-word adversarial random probes
-  * (12–22 residues per seed across five seeds; the residue is degenerate
-  * random suffix juxtapositions, often with non-Tamil codepoints mixed in;
-  * see COVERAGE.md). Under default normalization Tamil script
-  * transliterates to Latin before stemming, so this stemmer fires only for
-  * `normalization(false)` configs.
+  * corpus and 99.98% exact on 30,000-word adversarial random probes
+  * (3–8 residues per seed across six seeds; the residue is degenerate
+  * random suffix juxtapositions — words starting with a virama or sign,
+  * or with non-Tamil codepoints mixed in; see COVERAGE.md). Under default
+  * normalization Tamil script transliterates to Latin before stemming, so
+  * this stemmer fires only for `normalization(false)` configs.
   *
   * Pipeline: one initial fix pass; question/pronoun prefix strip (with
   * va-start repair); question suffixes; -um; common word endings (with the
   * ii-shortening clause); vetrumai case endings (sets the t-doubling flag
-  * that turns த்த் into ம்); plural suffixes (the ங்கள்/ுங்கள் branches
-  * suppress the tense stage); command suffixes; then the tense loop whose
-  * auxiliary matches (தான/படு/து/ென) re-expose case endings via a clause
-  * pass. All rule conditions (sign-vs-letter contexts, the 8-sign set, the
-  * vallinam set) were derived empirically from oracle probes.
+  * that shapes the த்த் rewrite); plural suffixes (the ங்கள்/vall-ுங்கள்
+  * branches and fix-fired plain-கள் strips suppress the later stages);
+  * command suffixes; then the tense loop whose auxiliary matches
+  * (தான/படு/து/ென) re-expose case endings via a clause pass, followed by a
+  * path-dependent கிற்/கின்ற்/(ா)நின்ற் strip. All rule conditions
+  * (sign-vs-letter contexts, the 8-sign set, the vallinam set) were
+  * derived empirically from oracle probes.
   */
 object TamilStemmer extends Stemmer {
 
@@ -48,16 +50,19 @@ object TamilStemmer extends Stemmer {
       len >= n && { var i = 0; var ok = true; while (ok && i < n) { if (b.charAt(len - n + i) != s(i)) ok = false; i += 1 }; ok }
     }
     def del(n: Int): Unit = b.setLength(len - n)
-    /** delete n, then append virama (unless empty) — the `<- '்'` action */
-    def rep(n: Int): Unit = { del(n); if (len > 0) b.append(V) }
+    /** delete n, then append virama — the `<- '்'` action (appends even on
+      * an empty base: whole-word matches stem to '்', oracle ிருந்து → ்) */
+    def rep(n: Int): Unit = { del(n); b.append(V) }
     def ch(i: Int): Char = b.charAt(i) // from-end helpers use len-…
   }
 
   private val CommonP = Array("ுடன்", "ில்லை", "ின்றி", "ாகிய", "ாகி", "ுள்ள", "ுடைய", "ல்ல", "ென்று", "ிடம்")
   private val CommonD = Array("விட்டு", "விடு", "பட்டது", "பட்டண", "பட்டு", "பட்ட", "பற்றி", "படி", "ெல்லாம்")
   // vetrumai: mode 0=rep 1=rep+aiCond 2=rep unless prev in signs8 3=delete
+  //           4=delete unless prev is virama (மின் after '்' is left for the
+  //             tense stage — oracle: மாடுகள்மின் keeps கள், மாடுமின் strips)
   private val Vet: Array[(String, Int)] = Array(
-    "ாமல்" -> 0, "மின்" -> 3, "கண்" -> 3, "முன்" -> 3, "மேல்" -> 3, "மேற்" -> 3, "கீழ்" -> 3, "பின்" -> 3,
+    "ாமல்" -> 0, "மின்" -> 4, "கண்" -> 3, "முன்" -> 3, "மேல்" -> 3, "மேற்" -> 3, "கீழ்" -> 3, "பின்" -> 3,
     "ிருந்து" -> 0, "ின்று" -> 0, "ால்" -> 0, "ில்" -> 0, "ின்" -> 0, "ொடு" -> 0, "ோடு" -> 0,
     "ுடை" -> 0, "ுள்" -> 0, "விட" -> 0, "ல்" -> 2, "ை" -> 1)
 
@@ -85,7 +90,6 @@ object TamilStemmer extends Stemmer {
     for (s <- Array("ன", "த", "க", "ப", "ய", "வ")) t(s, AD)
     l.result()
   }
-  private val Kira = Array("நின்ற்", "கின்ற்", "கிற்")
   // clause kinds
   private final val KCum = 0; private final val KVet = 1; private final val KTkal = 2; private final val KRkal = 3
   private final val KKal = 4; private final val KVii = 5; private final val KPp = 7
@@ -120,18 +124,30 @@ object TamilStemmer extends Stemmer {
     if (w.ends("ந்")) { w.del(2); return true }
     if (w.ends("ய்") && n >= 3 && isIei(c.charAt(n - 3))) { w.del(2); return true }
     if (w.ends("த்த்")) {
-      if (w.vflag && (n < 5 || { val p = c.charAt(n - 5); p != 'ை' && p != 'ா' && p != V })) { w.del(4); c.append("ம்") }
-      else w.del(4)
+      // vflag branch by the char before த்த் (all oracle-probed):
+      //   ா with a ≥2-char base → the ா is consumed too (கயாத்தில் → கய்);
+      //   ா shallow → ம் (மாத்தை → மாம், ாத்தில் → ாம்);
+      //   ை, or ் with a base → plain drop (மலைத்தை → மலை, கன்த்தில் → கன்);
+      //   letters / bare ் / nothing → ம் (மரத்தை → மரம், ்த்தில் → ்ம்)
+      if (w.vflag) {
+        val p = if (n >= 5) c.charAt(n - 5) else ' '
+        if (p == 'ா' && n >= 7) w.rep(5)
+        else if (p == 'ை' || (p == V && n > 5)) w.del(4)
+        else { w.del(4); c.append("ம்") }
+      } else w.del(4)
       return true
     }
     if (w.ends("ட்ட்")) { w.del(4); c.append("டு"); return true }
     if (w.ends("ட்ப்") || w.ends("ட்க்")) { w.del(4); c.append("ள்"); return true }
+    if (w.ends("ற்த்")) { w.del(4); return true } // oracle: மரன்ற்த் → மரன் (ற்த் drops whole, no ல் rewrite)
     if (w.ends("ன்ற்") || w.ends("ற்க்")) { w.del(4); c.append("ல்"); return true }
     if (w.ends("ுக்க்")) { w.del(5); c.append(V); return true }
     if (w.ends("ுக்")) { w.del(3); c.append(V); return true }
-    if (mode != MTense && w.ends("ுங்")) { w.del(3); c.append(V); return true }
-    if (w.ends("த்து")) { w.del(4); return true }
-    val cumOk = mode == MCommon || mode == MVet || mode == MTense || mode == MPlural || mode == MCommand
+    if (mode != MTense && w.ends("ுங்")) { w.del(3); c.append("ும்"); return true } // oracle: யுங்தை → யும், அுுஙை → அுும்
+    if (n > 5 && w.ends("த்து")) { w.del(4); return true } // needs a 2-char base (oracle: மத்து frozen, மாத்து → மா)
+    // the கும்-group rules freeze 4-char whole-word matches (oracle: டும்/தும்/கும்
+    // unchanged alone; மாடும் → மா, கடும் → கட், குத்தில் → (vet) கும் frozen)
+    val cumOk = (mode == MCommon || mode == MVet || mode == MTense || mode == MPlural || mode == MCommand) && n > 4
     if (cumOk && w.ends("டும்")) { w.rep(4); return true }
     if (cumOk && (w.ends("தும்") || w.ends("கும்") || w.ends("றும்"))) { w.del(4); return true }
     if (n >= 3 && last == V && isTam18(c.charAt(n - 2)) && c.charAt(n - 3) == V) { w.del(2); return true }
@@ -144,8 +160,8 @@ object TamilStemmer extends Stemmer {
     if (w.ends("வ்")) { w.del(2); return true }
     if (last == V && n >= 2 && c.charAt(n - 2) == V) { w.del(1); return true }
     if (last == V && n >= 2 && isSign8(c.charAt(n - 2))) { w.del(1); return true }
-    if ((mode == MInit || mode == MTense) && w.ends("னு") && (n < 3 || !isSign8(c.charAt(n - 3)))) { w.del(2); return true }
-    val yvOk = mode == MInit || mode == MVet || mode == MTense
+    if ((mode == MInit || mode == MTense || mode == MPlural) && w.ends("னு") && (n < 3 || !isSign8(c.charAt(n - 3)))) { w.del(2); return true }
+    val yvOk = mode == MInit || mode == MVet || mode == MTense || mode == MQ || mode == MCommand
     if (yvOk && last == 'ய') { w.del(1); return true }
     if (yvOk && last == 'வ') { w.del(1); return true }
     false
@@ -220,10 +236,11 @@ object TamilStemmer extends Stemmer {
         var ok = w.ends(s)
         if (ok && m == 1) ok = aiCond(w, s.length)
         if (ok && m == 2) ok = !(w.len > s.length && isSign8(w.b.charAt(w.len - s.length - 1)))
+        if (ok && m == 4) ok = !(w.len > s.length && w.b.charAt(w.len - s.length - 1) == V)
         if (ok && (best == null || s.length > best.length)) { best = s; bestMode = m }
       }
       if (best != null) {
-        if (bestMode == 3) w.del(best.length) else w.rep(best.length)
+        if (bestMode == 3 || bestMode == 4) w.del(best.length) else w.rep(best.length)
         w.vflag = true
         fixAll(w, MVet)
       }
@@ -241,7 +258,12 @@ object TamilStemmer extends Stemmer {
           w.del(6)
           if (vall) w.b.append("ும்") else w.b.append(V) // `<- '்'` appends even on an empty base
         }
-        matched = true; suppress = true
+        // the vall branch suppresses the later stages (its appended ும் must
+        // survive tense: உடுங்கள் → உடும்); the ் branch suppresses only
+        // after a sign, virama, or ங (oracle: உஇஏதுுங்கள் → உஇஏது and
+        // ஆஆபஙுங்கள் → ஆஆபம் freeze, but ஆஆபனுங்கள் → ஆஆ — tense strips பன்)
+        val p = if (i >= 0) w.b.charAt(i) else ' '
+        matched = true; suppress = vall || isSign8(p) || p == V || p == 'ங'
       } else if (w.ends("ங்கள்")) {
         w.del(3); matched = true; suppress = true
       } else if (w.ends("ட்கள்")) {
@@ -258,16 +280,63 @@ object TamilStemmer extends Stemmer {
       if (matched) {
         val before = if (plainKal) w.b.toString else null
         fixAll(w, if (plainKal) MPlural else if (hardfix) MHard else MPsup)
-        // a plain-கள் strip suppresses the tense stage only when its fix chain changed the word
+        // a plain-கள் strip suppresses the later stages only when its fix
+        // chain changed the word (oracle: மாடுபன்கள் → மாடு via tense, but
+        // கபஇஆாஒசஓமகந்கள் → …மக: the ந் fix-drop freezes the single-க tense
+        // rule; உ்னநனு்கள் → உ்னந because னு strips inside the plural fix)
         if (plainKal && w.b.toString != before) suppress = true
       }
     }
     if (w.len > 4 && !suppress) { // command suffixes
-      if (w.ends("ுக்கு")) { w.rep(5); fixAll(w, MCommand) }
-      else if (w.ends("பி") || w.ends("வி")) { w.del(2); fixAll(w, MCommand) }
+      if (w.len > 5 && w.ends("ுக்கு")) { w.rep(5); fixAll(w, MCommand) } // needs a base (oracle: ுக்கு → ுக் via tense; முக்கு → ம்)
+      // the வி/பி branch min-length-gates its fix (மரந்வி → மரந் at 4 chars,
+      // மரமரந்வி → மரமர at 6); the ுக்கு branch fixes ungated (வீடுக்கு → வீ)
+      else if (w.ends("பி") || w.ends("வி")) { w.del(2); if (w.len > 4) fixAll(w, MCommand) }
     }
     if (!suppress) tense(w)
     w.b.toString
+  }
+
+  /** One longest conditioned clause match after an aux tense strip.
+    * full=false is the து-rule subset: plural group + கும் group + ின்
+    * only. ிடம் additionally needs clause-time length ≥ 7 (oracle:
+    * மரிடம்தான → மரிடம் at 6, மாயிடம்தான → மாய் at 7).
+    */
+  /** @return the fired clause kind, or -1 when none matched */
+  private def applyClause(w: W, full: Boolean): Int = {
+    var cl: (String, Int) = null
+    for ((cs, kind) <- Clause) {
+      val inSet = full || kind == KCum || kind == KTkal || kind == KRkal || kind == KKal ||
+        (kind == KVet && cs == "ின்")
+      if (inSet && w.ends(cs)) {
+        val pi = w.len - cs.length - 1
+        val ok = kind match {
+          case KCum => pi >= 0 && w.b.charAt(pi) == V
+          case KVet if cs == "ிடம்" => w.len >= 7 && !(pi >= 0 && isSign8(w.b.charAt(pi)))
+          case KVet => !(isSign8(cs.charAt(0)) && pi >= 0 && isSign8(w.b.charAt(pi)))
+          case KAi => aiCond(w, 1)
+          case _ => true
+        }
+        if (ok && (cl == null || cs.length > cl._1.length)) cl = (cs, kind)
+      }
+    }
+    if (cl == null) return -1
+    val (cs, kind) = cl
+    kind match {
+      case KCum => w.rep(4)
+      case KTkal =>
+        w.del(5); if (w.len > 0 && w.b.charAt(w.len - 1) != V) w.b.append("ள்")
+      case KRkal =>
+        w.del(5); if (w.len > 0 && w.b.charAt(w.len - 1) != V) w.b.append("ல்")
+      case KKal => w.del(3)
+      case KVii => w.del(2)
+      case KPp => w.del(cs.length)
+      case KNai => w.del(2)
+      case KAi => w.rep(1); w.vflag = true
+      case KIi => w.b.setCharAt(w.len - 1, 'ி')
+      case _ => w.rep(cs.length); w.vflag = true
+    }
+    kind
   }
 
   private def tense(w: W): Unit = {
@@ -300,50 +369,53 @@ object TamilStemmer extends Stemmer {
           if (w.len >= 2 && isSign8(w.b.charAt(w.len - 2))) w.del(1) else w.rep(1)
           loop = true
         case AK => w.del(best.suf.length); loop = true
-        case AV => w.rep(best.suf.length); loop = true
+        case AV =>
+          // ென appends '்' after ANY letter final — the fix chain then
+          // cascades (மரயென → மரய்; மாசென → மாச் → மா; வந்தென → வந்த் →
+          // வ via the ந்த் rule) — and leaves sign/virama finals untouched
+          // so the clause can still see the stem's own tail
+          // (oracle: மாடால்ென → மா via ால்; மாடோடுென → மா via ோடு)
+          if (best.suf == "ென") {
+            w.del(best.suf.length)
+            if (w.len > 0 && isLet(w.b.charAt(w.len - 1))) w.b.append(V)
+          } else w.rep(best.suf.length)
+          loop = true
         case _ => w.del(best.suf.length); loop = true
       }
       if (best.aux && first && !w.vflag && w.ends("படி")) w.del(3) // auxiliary paDi strip: first pass only, and not once a case ending fired
       first = false
-      if (best.aux && w.len > 4) { // clause: one longest conditioned match
-        var cl: (String, Int) = null
-        for ((cs, kind) <- Clause) {
-          if (w.ends(cs)) {
-            val pi = w.len - cs.length - 1
-            val ok = kind match {
-              case KCum => pi >= 0 && w.b.charAt(pi) == V
-              case KVet => !(isSign8(cs.charAt(0)) && pi >= 0 && isSign8(w.b.charAt(pi)))
-              case KAi => aiCond(w, 1)
-              case _ => true
-            }
-            if (ok && (cl == null || cs.length > cl._1.length)) cl = (cs, kind)
-          }
-        }
-        if (cl != null) {
-          val (cs, kind) = cl
-          kind match {
-            case KCum => w.rep(4)
-            case KTkal =>
-              w.del(5); if (w.len > 0 && w.b.charAt(w.len - 1) != V) w.b.append("ள்")
-            case KRkal =>
-              w.del(5); if (w.len > 0 && w.b.charAt(w.len - 1) != V) w.b.append("ல்")
-            case KKal => w.del(3)
-            case KVii => w.del(2)
-            case KPp => w.del(cs.length)
-            case KNai => w.del(2)
-            case KAi => w.rep(1); w.vflag = true
-            case KIi => w.b.setCharAt(w.len - 1, 'ி')
-            case _ => w.rep(cs.length); w.vflag = true
-          }
+      var clauseKind = -1
+      if (best.aux && w.len > 4) {
+        if (best.suf == "து") {
+          // the து rule fixes FIRST (so a ந்-masked tail is revealed:
+          // மாடுகள்ந்து → fix → மாடுகள் → கள் strips) and then applies only
+          // the plural/கும்/ின் clause subset — case endings survive it
+          // (oracle: மாடால்து → மாடால் but மாடால்ென/தான/படு → மா)
+          fixAll(w, MTense)
+          clauseKind = applyClause(w, full = false) // gate is the outer pre-fix len: ஙகள்ந்து → ங
+        } else clauseKind = applyClause(w, full = true)
+      }
+      // Kira gating is per entry and per path: no Kira after AK rules or
+      // து/னை (oracle: மாநின்ற்து → மாநில்). After the aux-ish deletes
+      // (னு/தான/படு/ென) the entries are நின்ற்/கின்ற் — கிற் stays for the
+      // fix chain's vall-virama drop (மாநின்ற்தான → மா, மாகிற்தான → மாகி).
+      // After the other deletes (கு/மார்/ிற்று/…) all three fire, but the
+      // நின்ற் form requires and consumes a preceding ா
+      // (மாநின்ற்கு → ம, மரநின்ற்கு → மரநில், மாகிற்கு → மா)
+      val kiraOk = best.act != AK && best.suf != "து" && best.suf != "னை"
+      if (kiraOk) {
+        val auxish = best.suf == "னு" || best.suf == "தான" || best.suf == "படு" || best.suf == "ென"
+        val entries = if (auxish) Array("நின்ற்", "கின்ற்") else Array("ாநின்ற்", "கின்ற்", "கிற்")
+        var k = 0
+        var done = false
+        while (!done && k < entries.length) {
+          if (w.ends(entries(k))) { w.del(entries(k).length); done = true }
+          k += 1
         }
       }
-      var k = 0
-      var done = false
-      while (!done && k < Kira.length) {
-        if (w.ends(Kira(k))) { w.del(Kira(k).length); done = true }
-        k += 1
-      }
-      fixAll(w, MTense)
+      // a plain-கள் clause strip ends with the plural-gated fix (≤4-char
+      // stems untouched, like the plural stage): மரங்கள்து → மரங், not மரம்
+      fixAll(w, if (clauseKind == KKal) MPlural else MTense)
     }
   }
 }
