@@ -164,17 +164,21 @@ object OracleSql {
         |    list_transform(range(1, len(ws) - 1),
         |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS shingles
         |  FROM d WHERE len(ws) >= 3
+        |), hh AS (
+        |  SELECT doc_id,
+        |    list_transform(shingles, s -> md5('0:' || s) || md5('1:' || s)) AS hh
+        |  FROM sh
         |), sig AS (
         |  SELECT doc_id,
-        |    list_aggregate(list_transform(shingles, s -> md5('0:' || s)), 'min') AS h0,
-        |    list_aggregate(list_transform(shingles, s -> md5('1:' || s)), 'min') AS h1,
-        |    list_aggregate(list_transform(shingles, s -> md5('2:' || s)), 'min') AS h2,
-        |    list_aggregate(list_transform(shingles, s -> md5('3:' || s)), 'min') AS h3,
-        |    list_aggregate(list_transform(shingles, s -> md5('4:' || s)), 'min') AS h4,
-        |    list_aggregate(list_transform(shingles, s -> md5('5:' || s)), 'min') AS h5,
-        |    list_aggregate(list_transform(shingles, s -> md5('6:' || s)), 'min') AS h6,
-        |    list_aggregate(list_transform(shingles, s -> md5('7:' || s)), 'min') AS h7
-        |  FROM sh
+        |    list_aggregate(list_transform(hh, m -> substring(m, 1, 8)), 'min') AS h0,
+        |    list_aggregate(list_transform(hh, m -> substring(m, 9, 8)), 'min') AS h1,
+        |    list_aggregate(list_transform(hh, m -> substring(m, 17, 8)), 'min') AS h2,
+        |    list_aggregate(list_transform(hh, m -> substring(m, 25, 8)), 'min') AS h3,
+        |    list_aggregate(list_transform(hh, m -> substring(m, 33, 8)), 'min') AS h4,
+        |    list_aggregate(list_transform(hh, m -> substring(m, 41, 8)), 'min') AS h5,
+        |    list_aggregate(list_transform(hh, m -> substring(m, 49, 8)), 'min') AS h6,
+        |    list_aggregate(list_transform(hh, m -> substring(m, 57, 8)), 'min') AS h7
+        |  FROM hh
         |)
         |SELECT doc_id, md5(h0 || h1) AS band0, md5(h2 || h3) AS band1,
         |       md5(h4 || h5) AS band2, md5(h6 || h7) AS band3
@@ -188,17 +192,21 @@ object OracleSql {
         |    list_transform(range(1, len(ws) - 1),
         |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS shingles
         |  FROM d WHERE len(ws) >= 3
+        |), hh AS (
+        |  SELECT doc_id,
+        |    list_transform(shingles, s -> md5('0:' || s) || md5('1:' || s)) AS hh
+        |  FROM sh
         |), sig AS (
         |  SELECT doc_id,
-        |    list_aggregate(list_transform(shingles, s -> md5('0:' || s)), 'min') AS h0,
-        |    list_aggregate(list_transform(shingles, s -> md5('1:' || s)), 'min') AS h1,
-        |    list_aggregate(list_transform(shingles, s -> md5('2:' || s)), 'min') AS h2,
-        |    list_aggregate(list_transform(shingles, s -> md5('3:' || s)), 'min') AS h3,
-        |    list_aggregate(list_transform(shingles, s -> md5('4:' || s)), 'min') AS h4,
-        |    list_aggregate(list_transform(shingles, s -> md5('5:' || s)), 'min') AS h5,
-        |    list_aggregate(list_transform(shingles, s -> md5('6:' || s)), 'min') AS h6,
-        |    list_aggregate(list_transform(shingles, s -> md5('7:' || s)), 'min') AS h7
-        |  FROM sh
+        |    list_aggregate(list_transform(hh, m -> substring(m, 1, 8)), 'min') AS h0,
+        |    list_aggregate(list_transform(hh, m -> substring(m, 9, 8)), 'min') AS h1,
+        |    list_aggregate(list_transform(hh, m -> substring(m, 17, 8)), 'min') AS h2,
+        |    list_aggregate(list_transform(hh, m -> substring(m, 25, 8)), 'min') AS h3,
+        |    list_aggregate(list_transform(hh, m -> substring(m, 33, 8)), 'min') AS h4,
+        |    list_aggregate(list_transform(hh, m -> substring(m, 41, 8)), 'min') AS h5,
+        |    list_aggregate(list_transform(hh, m -> substring(m, 49, 8)), 'min') AS h6,
+        |    list_aggregate(list_transform(hh, m -> substring(m, 57, 8)), 'min') AS h7
+        |  FROM hh
         |), bands AS (
         |  SELECT doc_id, 0 AS band, md5(h0 || h1) AS bucket FROM sig
         |  UNION ALL SELECT doc_id, 1, md5(h2 || h3) FROM sig
@@ -282,17 +290,21 @@ object OracleSql {
         |    list_transform(range(1, len(ws) - 1),
         |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS shingles
         |  FROM d WHERE len(ws) >= 3
+        |), hh AS (
+        |  SELECT doc_id,
+        |    list_transform(shingles, s -> md5('0:' || s) || md5('1:' || s)) AS hh
+        |  FROM sh
         |), sig AS (
         |  SELECT doc_id,
-        |    list_aggregate(list_transform(shingles, s -> md5('0:' || s)), 'min') AS h0,
-        |    list_aggregate(list_transform(shingles, s -> md5('1:' || s)), 'min') AS h1,
-        |    list_aggregate(list_transform(shingles, s -> md5('2:' || s)), 'min') AS h2,
-        |    list_aggregate(list_transform(shingles, s -> md5('3:' || s)), 'min') AS h3,
-        |    list_aggregate(list_transform(shingles, s -> md5('4:' || s)), 'min') AS h4,
-        |    list_aggregate(list_transform(shingles, s -> md5('5:' || s)), 'min') AS h5,
-        |    list_aggregate(list_transform(shingles, s -> md5('6:' || s)), 'min') AS h6,
-        |    list_aggregate(list_transform(shingles, s -> md5('7:' || s)), 'min') AS h7
-        |  FROM sh
+        |    list_aggregate(list_transform(hh, m -> substring(m, 1, 8)), 'min') AS h0,
+        |    list_aggregate(list_transform(hh, m -> substring(m, 9, 8)), 'min') AS h1,
+        |    list_aggregate(list_transform(hh, m -> substring(m, 17, 8)), 'min') AS h2,
+        |    list_aggregate(list_transform(hh, m -> substring(m, 25, 8)), 'min') AS h3,
+        |    list_aggregate(list_transform(hh, m -> substring(m, 33, 8)), 'min') AS h4,
+        |    list_aggregate(list_transform(hh, m -> substring(m, 41, 8)), 'min') AS h5,
+        |    list_aggregate(list_transform(hh, m -> substring(m, 49, 8)), 'min') AS h6,
+        |    list_aggregate(list_transform(hh, m -> substring(m, 57, 8)), 'min') AS h7
+        |  FROM hh
         |), bands AS (
         |  SELECT doc_id, 0 AS band, md5(h0 || h1) AS bucket FROM sig
         |  UNION ALL SELECT doc_id, 1, md5(h2 || h3) FROM sig

@@ -355,16 +355,26 @@ object Queries {
         .orderBy($"a", $"b")
     },
 
-    // MinHash signatures: 8 md5-hash functions over word 3-shingles, banded
+    // MinHash signatures: 8 minhash functions over word 3-shingles, banded
     // 4×2 (shingle → minhash → band → bucket-join is the LSH scale path).
+    // Hashing cost is the dominant term of the whole LSH family, so the 8
+    // functions are derived from TWO salted md5s per shingle, sliced into
+    // 8 independent 32-bit (8-hex-char) values — 4× less hashing than 8
+    // full md5s, same collision math (n²/2³² intra-doc collisions are
+    // negligible at realistic shingle counts). The hh projection is kept
+    // in its own Project: Spark's CollapseProject refuses to inline a
+    // non-cheap alias consumed 8×, so the md5s are computed once per
+    // shingle, not once per slice.
     "dedup_minhash_sig" -> { (spark, sfDir) =>
       import spark.implicits._
       val d = docs(spark, sfDir).select($"doc_id", split($"text", " ").as("ws"))
         .where(size($"ws") >= 3)
         .withColumn("sh", expr(
           "transform(sequence(0, size(ws)-3), i -> concat(ws[i], ' ', ws[i+1], ' ', ws[i+2]))"))
+        .select($"doc_id", expr(
+          "transform(sh, s -> concat(md5(concat('0:', s)), md5(concat('1:', s))))").as("hh"))
       val sigs = (0 until 8).map(j =>
-        expr(s"array_min(transform(sh, s -> md5(concat('$j:', s))))").as(s"h$j"))
+        expr(s"array_min(transform(hh, m -> substring(m, ${1 + 8 * j}, 8)))").as(s"h$j"))
       val withSigs = d.select(($"doc_id" +: sigs): _*)
       withSigs.select($"doc_id",
         md5(concat($"h0", $"h1")).as("band0"),
