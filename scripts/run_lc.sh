@@ -15,12 +15,14 @@ rm -rf /dev/shm/graft_tmp/graft_scale_idx_* /dev/shm/spark_local/*
 TOTAL=$((EXECS*CORES))
 # local-cluster[n,cores,mem] sizes the WORKER; executors default to 1 GiB
 # unless spark.executor.memory is set explicitly — set it, and cap direct
-# memory (an uncapped executor was kernel-OOM-killed at 77 GB anon RSS).
+# memory (an uncapped executor was kernel-OOM-killed at 77 GB anon RSS);
+# jdk.nio.maxCachedBufferSize stops per-thread temp direct buffers from
+# pinning the whole 2g cap on large parquet reads (1-exec query phase).
 EXECMEM=$((MEM-2048))
 SPARK_GRAFT_CPUS=$TOTAL SPARK_GRAFT_MASTER="local-cluster[$EXECS,$CORES,$MEM]" \
 java $OPENS -Xms4g -Xmx8g -Dspark.ui.enabled=false \
   -Dspark.executor.memory=${EXECMEM}m \
   -Djava.io.tmpdir=/dev/shm/graft_tmp -Dspark.local.dir=/dev/shm/spark_local \
   -Dspark.executor.extraClassPath=/root/repo/target/scala-2.13/classes \
-  -Dspark.executor.extraJavaOptions="$OPENS -XX:+UseParallelGC -XX:ParallelGCThreads=$CORES -XX:MaxDirectMemorySize=2g -Djava.io.tmpdir=/dev/shm/graft_tmp" \
+  -Dspark.executor.extraJavaOptions="$OPENS -XX:+UseParallelGC -XX:ParallelGCThreads=$CORES -XX:MaxDirectMemorySize=2g -Djdk.nio.maxCachedBufferSize=1048576 -Djava.io.tmpdir=/dev/shm/graft_tmp" \
   -cp "$CP" graft.tools.ScalingBench $N 2>&1 | grep -aE '"bench"|ERROR TaskSetManager|OutOfMemory|Exception in thread "main"' | head -20

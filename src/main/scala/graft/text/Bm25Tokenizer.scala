@@ -98,6 +98,50 @@ final class Bm25Tokenizer private (
       if (normalization) raw.map(Transliterate(_)) else raw
     }
 
+  // Stemming is ~75 % of tokenize cost (graft.tools.TokBench), and Zipf-
+  // skewed corpora re-stem the same head tokens constantly, so stems are
+  // memoized in a bounded per-thread map: no synchronization, cleared
+  // wholesale when full (the hot head repopulates within one document —
+  // cheaper than LRU bookkeeping). @transient: rebuilt lazily after the
+  // tokenizer is deserialized onto an executor. Memoization is transparent
+  // because stem() is pure; the EN/DE snapshot suites assert bit-exact
+  // output either way. Long tokens are not cached to bound entry size.
+  private val MemoCap = 1 << 15
+  @transient private lazy val memo = new ThreadLocal[java.util.HashMap[String, String]] {
+    override def initialValue(): java.util.HashMap[String, String] =
+      new java.util.HashMap[String, String](MemoCap * 2)
+  }
+
+  // internal views for the fused tokenize+hash path (TokenHashCache)
+  private[text] def stopwordSetView: Set[String] = stopwordSet
+  private[text] def stemmerView: Stemmer = stemmer
+  private[text] def configKey: String =
+    s"${language.name}:$normalization:$stopwords:$stemming"
+
+  /** Fused tokenize+hash: calls `f` with `hasher.hash(stem(word))` for each
+    * non-stopword token of `text`, in token order, and returns dl (the
+    * post-stopword token count) — exactly
+    * `tokenize(text).map(hasher.hash)` without materializing the token
+    * array or (on cache hits) any per-token object at all. Only invoked
+    * for hashers that `TokenHashCache.supports` (Embedder gates it);
+    * FusedPathSpec asserts equivalence against the generic path.
+    */
+  private[graft] def foreachTermHash(text: String, hasher: graft.bm25.TokenHasher)(f: Long => Unit): Int = {
+    if (text.isEmpty) return 0
+    val normalized = if (normalization) Transliterate(text) else text
+    val lowered = normalized.toLowerCase(Locale.ROOT)
+    val ranges = UnicodeWords.splitRanges(lowered)
+    val cache = TokenHashCache.forConfig(this, hasher)
+    var dl = 0
+    var i = 0
+    while (i < ranges.length) {
+      val h = cache.termHash(lowered, ranges(i), ranges(i + 1))
+      if (h != TokenHashCache.StopSentinel) { f(h); dl += 1 }
+      i += 2
+    }
+    dl
+  }
+
   def tokenize(text: String): Array[String] = {
     if (text.isEmpty) return Array.empty
     // Normalize (unicode → ASCII), then lowercase the whole text (the
@@ -108,10 +152,24 @@ final class Bm25Tokenizer private (
     if (stopwordSet.isEmpty && (stemmer eq NoOpStemmer)) return words
     val out = Array.newBuilder[String]
     out.sizeHint(words.length)
+    val m = if (stemmer eq NoOpStemmer) null else memo.get()
     var i = 0
     while (i < words.length) {
       val w = words(i)
-      if (!stopwordSet.contains(w)) out += stemmer.stem(w)
+      if (!stopwordSet.contains(w)) {
+        if (m == null) out += w
+        else {
+          var s = m.get(w)
+          if (s == null) {
+            s = stemmer.stem(w)
+            if (w.length <= 48) {
+              if (m.size >= MemoCap) m.clear()
+              m.put(w, s)
+            }
+          }
+          out += s
+        }
+      }
       i += 1
     }
     out.result()

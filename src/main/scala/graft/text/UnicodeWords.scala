@@ -46,19 +46,35 @@ object UnicodeWords {
     false
   }
 
-  /** Splits `text` into word tokens (order-preserving, no empties). */
-  def split(text: String): Array[String] = {
-    if (text.isEmpty) return Array.empty
+  /** Word-token boundaries of `text` as a flattened [s0,e0,s1,e1,…] array —
+    * the allocation-free form of [[split]] for fused pipelines that look
+    * tokens up by char region instead of materializing substrings.
+    */
+  def splitRanges(text: String): Array[Int] = {
+    if (text.isEmpty) return Array.emptyIntArray
     val bi = iterators.get()
     bi.setText(text)
-    val out = Array.newBuilder[String]
+    var buf = new Array[Int](64)
+    var n = 0
     var start = bi.first()
     var end = bi.next()
     while (end != BreakIterator.DONE) {
-      if (hasAlphanumeric(text, start, end)) out += text.substring(start, end)
+      if (hasAlphanumeric(text, start, end)) {
+        if (n + 2 > buf.length) buf = java.util.Arrays.copyOf(buf, buf.length * 2)
+        buf(n) = start; buf(n + 1) = end; n += 2
+      }
       start = end
       end = bi.next()
     }
-    out.result()
+    if (n == buf.length) buf else java.util.Arrays.copyOf(buf, n)
+  }
+
+  /** Splits `text` into word tokens (order-preserving, no empties). */
+  def split(text: String): Array[String] = {
+    val r = splitRanges(text)
+    val out = new Array[String](r.length / 2)
+    var i = 0
+    while (i < out.length) { out(i) = text.substring(r(2 * i), r(2 * i + 1)); i += 1 }
+    out
   }
 }

@@ -65,6 +65,22 @@ class PlanAuditSpec extends SparkTestBase {
     }
   }
 
+  test("minhash signature plan computes exactly 2 md5s per shingle") {
+    // The 8 minhash functions are slices of TWO salted md5s per shingle;
+    // that only holds if the hh projection keeps its own Project node
+    // (CollapseProject must not inline the non-cheap alias into its 8
+    // slice consumers, which would recompute the md5s per slice). Plan
+    // md5 budget: 2 per-shingle + 4 per-row band hashes = 6.
+    // other suite tests may have persisted the signature projection — a
+    // cache hit would render the tree as an InMemoryRelation (duplicated
+    // AQE sections), so audit the uncached plan
+    spark.catalog.clearCache()
+    val plan = graft.Queries.all("dedup_minhash_sig")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    val md5s = "md5".r.findAllIn(plan).length
+    assert(md5s == 6, s"expected 6 md5 calls (2/shingle + 4 bands), got $md5s:\n$plan")
+  }
+
   test("live-view delta path pushes seq > baseSeq into the docstore scan") {
     // r3 judge finding #1: the delta path must never window the whole log.
     // The seq filter has to sit BELOW the row_number window, pushed into
