@@ -20,8 +20,11 @@ object ScalingBench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt
     // SPARK_GRAFT_MASTER=local-cluster[N,cores,mem] runs the same job on N
     // separate executor JVMs (the north_rule's N-vs-4N-executors shape);
-    // default is local[cpus].
-    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    // under spark-submit (scripts/run_submit.sh) the master comes from the
+    // --master flag (spark.master system property); default is local[cpus].
+    val master = sys.env.get("SPARK_GRAFT_MASTER")
+      .orElse(sys.props.get("spark.master"))
+      .getOrElse(s"local[$cpus]")
     val spark = SparkSession.builder()
       .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
