@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Let the forked `run` JVM inherit sbt's stdout/stderr directly: the
+// bench/verify mains print ONE machine-readable JSON line on stdout, and
+// sbt's default logger would prefix it with "[info] " (breaking any
+// line-oriented JSON parser downstream). Spark's own logging goes to
+// stderr, so stdout stays clean.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

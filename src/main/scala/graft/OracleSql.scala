@@ -367,6 +367,24 @@ object OracleSql {
         |  sha256(text) AS sha
         |FROM b ORDER BY doc_id""".stripMargin,
 
+    "mm_frame_sample" ->
+      """WITH b AS (SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents),
+        |f AS (SELECT doc_id, text, 1 + (n % 16) AS frames FROM b),
+        |s AS (SELECT doc_id, text, frames,
+        |        unnest(generate_series(0, frames - 1, (frames + 3) // 4)) AS frame_idx
+        |      FROM f)
+        |SELECT doc_id, frames, frame_idx,
+        |  sha256(text || ':' || CAST(frame_idx AS VARCHAR)) AS frame_sha
+        |FROM s ORDER BY doc_id, frame_idx""".stripMargin,
+
+    "mm_resize_meta" ->
+      """WITH b AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
+        |d AS (SELECT doc_id, 280 + (n % 360) AS width, 160 + (n % 320) AS height FROM b)
+        |SELECT doc_id, width, height,
+        |  width * 224 // greatest(width, height) AS out_w,
+        |  height * 224 // greatest(width, height) AS out_h
+        |FROM d ORDER BY doc_id""".stripMargin,
+
     "rel_q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,

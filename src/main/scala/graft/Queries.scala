@@ -618,6 +618,48 @@ object Queries {
         .orderBy($"doc_id")
     },
 
+    // Frame sampling over the fake-decoded video: every ⌈frames/4⌉-th frame
+    // index (≤4 samples per doc), one output row per sampled frame with a
+    // deterministic per-frame fingerprint. The flatMap IS the plumbing a
+    // real sampler needs — a narrow, batch-shaped explode whose output
+    // partitioning follows the input (no shuffle); a codec's frame decode
+    // would drop in where the fingerprint hash is computed.
+    "mm_frame_sample" -> { (spark, sfDir) =>
+      import spark.implicits._
+      docs(spark, sfDir).select($"doc_id", $"text").as[(Long, String)]
+        .mapPartitions { it =>
+          it.flatMap { case (id, t) =>
+            val n = t.getBytes(java.nio.charset.StandardCharsets.UTF_8).length
+            val frames = 1 + (n % 16)
+            val step = (frames + 3) / 4
+            (0 until frames by step).iterator.map { i =>
+              (id, frames, i,
+                org.apache.commons.codec.digest.DigestUtils.sha256Hex(s"$t:$i"))
+            }
+          }
+        }.toDF("doc_id", "frames", "frame_idx", "frame_sha")
+        .orderBy($"doc_id", $"frame_idx")
+    },
+
+    // Resize planning (aspect-preserving fit into 224×224) over the decoded
+    // dimensions: pure integer math (floor via integer division) so the
+    // oracle is bit-exact; a real resize kernel would run in the same
+    // mapPartitions batch immediately after decode, consuming (out_w, out_h).
+    "mm_resize_meta" -> { (spark, sfDir) =>
+      import spark.implicits._
+      docs(spark, sfDir).select($"doc_id", $"text").as[(Long, String)]
+        .mapPartitions { it =>
+          it.map { case (id, t) =>
+            val n = t.getBytes(java.nio.charset.StandardCharsets.UTF_8).length
+            val w = 280 + (n % 360)
+            val h = 160 + (n % 320)
+            val m = math.max(w, h)
+            (id, w, h, (w.toLong * 224 / m).toInt, (h.toLong * 224 / m).toInt)
+          }
+        }.toDF("doc_id", "width", "height", "out_w", "out_h")
+        .orderBy($"doc_id")
+    },
+
     // ---------------------------------------------------------- relational
 
     "rel_q1_agg" -> { (spark, sfDir) =>
