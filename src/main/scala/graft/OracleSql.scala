@@ -424,6 +424,20 @@ object OracleSql {
         |  count(DISTINCT user_id) AS users,
         |  round(avg(regexp_extract(props, '([0-9]+)', 1)::BIGINT), 4) AS avg_k
         |FROM events GROUP BY bucket, event_type
-        |ORDER BY bucket, event_type LIMIT 500""".stripMargin
+        |ORDER BY bucket, event_type LIMIT 500""".stripMargin,
+
+    "evt_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us, value FROM events),
+        |f AS (SELECT user_id, event_id, us, value,
+        |        CASE WHEN lag(us) OVER w IS NULL
+        |               OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_s
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |g AS (SELECT user_id, us, value,
+        |        CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |      FROM f)
+        |SELECT user_id, session_id, min(us) AS s_start_us, max(us) AS s_end_us,
+        |  count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |FROM g GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin
   )
 }

@@ -717,6 +717,36 @@ object Queries {
           round(avg($"k"), 4).as("avg_k"))
         .orderBy($"bucket", $"event_type")
         .limit(500)
+    },
+
+    // Per-user sessionization (30-minute inactivity gap), the standard
+    // training-pipeline event grouping: gap flags via lag() then a
+    // running-sum session id, one row per (user, session). Gap math is in
+    // exact epoch MICROSECONDS so the DuckDB oracle is bit-identical on
+    // boundaries. The streaming twin (StreamingIngest.sessionize) computes
+    // the same sessions incrementally via flatMapGroupsWithState with
+    // event-time timeouts; StreamingSpec asserts closed-session
+    // equivalence. Scale shape: one hash exchange on user_id; sessions
+    // never cross partitions, so the window and the aggregation both run
+    // partition-local after that single shuffle.
+    "evt_sessionize" -> { (spark, sfDir) =>
+      import spark.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val byUser = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+      tbl(spark, sfDir, "events")
+        // ts is TIMESTAMP_NTZ in the parquet; the session TZ is UTC so the
+        // cast is the identity on the stored micros (matches epoch_us in
+        // the DuckDB oracle)
+        .withColumn("us", unix_micros($"ts".cast("timestamp")))
+        .withColumn("prev_us", lag($"us", 1).over(byUser))
+        .withColumn("new_s",
+          when($"prev_us".isNull || $"us" - $"prev_us" > 1800L * 1000000L, 1L).otherwise(0L))
+        .withColumn("session_id", sum($"new_s")
+          .over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy($"user_id", $"session_id")
+        .agg(min($"us").as("s_start_us"), max($"us").as("s_end_us"),
+          count(lit(1)).as("n_events"), round(sum($"value"), 2).as("sum_value"))
+        .orderBy($"user_id", $"session_id")
     }
   )
 }

@@ -59,4 +59,55 @@ class StreamingSpec extends SparkTestBase {
     assert(gotRows.length > 0, "no closed windows emitted")
     assert(gotRows.map(_.toString).toSeq === batchRows.map(_.toString).toSeq)
   }
+
+  test("flatMapGroupsWithState sessionization ≡ batch evt_sessionize on closed sessions") {
+    import org.apache.spark.sql.functions.col
+    val sf = "/root/testdata/sf0.001"
+    val events = spark.read.parquet(s"$sf/events.parquet")
+    // two files split at the median ts: the second batch advances the global
+    // watermark over the first's sessions, so tail sessions of batch 1 close
+    // by EVENT-TIME TIMEOUT (not only inline by successor events)
+    val srcDir = tmpDir("sess_src")
+    val mid = events
+      .selectExpr("percentile_approx(unix_micros(cast(ts as timestamp)), 0.5, 1000)")
+      .head.get(0).asInstanceOf[Number].longValue
+    val us = org.apache.spark.sql.functions.unix_micros(col("ts").cast("timestamp"))
+    events.where(us <= mid).coalesce(1).write.parquet(s"$srcDir/p1")
+    events.where(us > mid).coalesce(1).write.parquet(s"$srcDir/p2")
+
+    val stream = spark.readStream.schema(events.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$srcDir/*")
+    val q = StreamingIngest.sessionize(spark, stream).writeStream
+      .outputMode("append").format("memory").queryName("sess_out")
+      .option("checkpointLocation", tmpDir("sess_ck"))
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(180000)
+
+    val got = spark.sql("select * from sess_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    // batch truth from the catalog query (sum_value pre-rounded there)
+    val expected = graft.Queries.all("evt_sessionize")(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)),
+        (r.getLong(1), r.getDouble(5))))
+    val expByKey = expected.map { case (k, v) => k -> v }.toMap
+
+    assert(got.nonEmpty, "no sessions emitted")
+    // every emitted session is exactly a batch session (bounds + count
+    // exact; sums compared at the oracle's 2-dp rounding)
+    got.foreach { case (u, s, e, n, sum) =>
+      val v = expByKey.get((u, s, e, n))
+      assert(v.isDefined, s"emitted session ($u,$s,$e,$n) not in batch result")
+      assert(math.abs(BigDecimal(sum).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+        - v.get._2) < 0.011, s"sum mismatch for ($u,$s,$e)")
+    }
+    // and every NON-LAST session per user must have been emitted (closed
+    // inline by its successor event or by the advancing watermark)
+    val lastPerUser = expected.groupBy(_._1._1).view
+      .mapValues(_.maxBy(_._2._1)._1).toMap
+    val gotKeys = got.map { case (u, s, e, n, _) => (u, s, e, n) }.toSet
+    expected.foreach { case (k @ (u, _, _, _), (sid, _)) =>
+      if (lastPerUser(u) != k)
+        assert(gotKeys.contains(k), s"non-last session $k (ordinal $sid) was never emitted")
+    }
+  }
 }
