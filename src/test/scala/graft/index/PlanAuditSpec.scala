@@ -113,4 +113,17 @@ class PlanAuditSpec extends SparkTestBase {
     assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
       s"expected pruned read schema:\n$plan")
   }
+
+  test("sessionize plans one user_id exchange shared by window and aggregation") {
+    val df = graft.Queries.all("evt_sessionize")(spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    // exactly one hash exchange on user_id: the lag window, the running-sum
+    // window, and the (user, session) hash aggregation all reuse it — at
+    // scale the whole sessionization is one shuffle of the events table
+    // (the trailing range exchange serves only the deterministic output
+    // ORDER BY for the oracle compare)
+    val hashExchanges = "hashpartitioning\\(user_id".r.findAllIn(plan).length
+    assert(hashExchanges == 1, s"expected 1 user_id hash exchange, got $hashExchanges:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+  }
 }
