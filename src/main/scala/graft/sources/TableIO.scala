@@ -15,14 +15,41 @@ import org.apache.spark.sql.functions._
 object TableIO {
 
   /** Reads a corpus in the input_hint shape
-    * (repo, path, commit, lang, content) from a catalog table or a parquet
-    * path.
+    * (repo, path, commit, lang, content) from a catalog table (Iceberg when
+    * the cluster configures one) or a path. Path formats cover every
+    * datasource whose jars ship with Spark itself: parquet (default), ORC,
+    * JSON-lines, and headered CSV — inferred from the path suffix
+    * (`.orc`/`_orc`, `.json`/`_json`, `.csv`) or forced via `format`.
+    * All formats land in the identical typed shape, so everything
+    * downstream (surrogate ids, sha invariants, index build) is
+    * format-agnostic.
     */
-  def readCorpus(spark: SparkSession, source: String): Dataset[CodeFile] = {
+  def readCorpus(spark: SparkSession, source: String,
+                 format: String = "auto"): Dataset[CodeFile] = {
     import spark.implicits._
-    val df =
-      if (source.contains("/")) spark.read.parquet(source)
-      else spark.read.table(source)
+    val fmt =
+      if (format != "auto") format
+      else if (!source.contains("/")) "table"
+      else {
+        val s = source.stripSuffix("/")
+        if (s.endsWith(".orc") || s.endsWith("_orc")) "orc"
+        else if (s.endsWith(".json") || s.endsWith("_json")) "json"
+        else if (s.endsWith(".csv") || s.endsWith("_csv")) "csv"
+        else "parquet"
+      }
+    val df = fmt match {
+      case "table" => spark.read.table(source)
+      case "orc"   => spark.read.orc(source)
+      case "json"  => spark.read.json(source)
+      case "csv"   => spark.read.option("header", "true")
+        .option("multiLine", "true").option("escape", "\"")
+        // univocity trims field whitespace by default — content bytes must
+        // survive the round-trip exactly (the sha256 invariant)
+        .option("ignoreLeadingWhiteSpace", "false")
+        .option("ignoreTrailingWhiteSpace", "false")
+        .csv(source)
+      case _       => spark.read.parquet(source)
+    }
     df.select($"repo", $"path", $"commit", $"lang", $"content").as[CodeFile]
   }
 
@@ -62,6 +89,10 @@ object TableIO {
       .option("header", "true")
       .option("multiLine", "true")
       .option("escape", "\"")
+      // the reference's csv crate never trims quoted fields; univocity
+      // does by default — keep field bytes exact
+      .option("ignoreLeadingWhiteSpace", "false")
+      .option("ignoreTrailingWhiteSpace", "false")
       .csv(path)
 
   /** Per-row content integrity fingerprints (the input_hint invariant:

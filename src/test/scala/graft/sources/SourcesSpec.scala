@@ -34,6 +34,29 @@ class SourcesSpec extends SparkTestBase {
     assert(tf.head.getLong(1) > 20L * tf(tf.length / 2).getLong(1))
   }
 
+  test("corpus round-trips identically through every shipped source format") {
+    val files = CodeCorpus.generate(spark, 200, seed = 7L, partitions = 2)
+    val base = tmpDir("fmt_corpus")
+    files.write.parquet(s"$base/c_parquet")
+    files.write.orc(s"$base/c_orc")
+    files.write.json(s"$base/c_json")
+    files.write.option("header", "true").option("escape", "\"")
+      .option("ignoreLeadingWhiteSpace", "false")
+      .option("ignoreTrailingWhiteSpace", "false")
+      .csv(s"$base/c_csv")
+    def fingerprint(src: String, fmt: String = "auto"): Seq[String] =
+      TableIO.contentSha(TableIO.readCorpus(spark, src, fmt))
+        .orderBy($"repo", $"path", $"commit").collect().map(_.toString).toSeq
+    val expected = fingerprint(s"$base/c_parquet")
+    assert(expected.length === 200)
+    // suffix-inferred formats
+    assert(fingerprint(s"$base/c_orc") === expected)
+    assert(fingerprint(s"$base/c_json") === expected)
+    assert(fingerprint(s"$base/c_csv") === expected)
+    // explicit format override beats inference
+    assert(fingerprint(s"$base/c_orc", "orc") === expected)
+  }
+
   test("surrogate ids are unique and stable") {
     val files = CodeCorpus.generate(spark, 2000, seed = 42L)
     val docs = TableIO.toCorpusDocs(files)
