@@ -54,6 +54,8 @@ final class SearchEngine private[api] (
     * manifest-versioned knob would let it scale with the corpus).
     */
   private val DocstoreBuckets = 16
+  // superseded sets up to this size take the collected-IN probe path
+  private val MaxInProbe = 10000
 
   /** All log writers funnel here: stamps the bucket partition column. */
   private def writeLog(df: DataFrame): Unit =
@@ -223,14 +225,37 @@ final class SearchEngine private[api] (
     (live, changed.select($"doc_id"))
   }
 
+  /** Superseded-set membership probes go against the sorted doc-id sidecar
+    * when the base has one (fresh builds and compactions write it): an
+    * 8-byte column in doc_id order, so the common small-delta case is a
+    * handful of stats-pruned row groups instead of a full forward scan per
+    * search. Exposed for the plan audit.
+    */
+  private[graft] def baseMembershipTable: DataFrame = {
+    val sidecar = new java.io.File(s"$indexPath/docids")
+    if (sidecar.exists()) spark.read.parquet(s"$indexPath/docids")
+    else spark.read.parquet(s"$indexPath/forward").select($"doc_id") // pre-sidecar index dirs
+  }
+
+  /** Count of `ids` present in the base. Small sets (the normal churn
+    * between compactions) go through a collected IN filter — pushed into
+    * the parquet scan of the sorted sidecar — and only a pathologically
+    * large superseded set falls back to the broadcast semi-join.
+    */
+  private[graft] def countInBase(ids: DataFrame): Long = {
+    val small = ids.select($"doc_id").limit(MaxInProbe + 1).collect().map(_.getLong(0))
+    if (small.isEmpty) 0L
+    else if (small.length <= MaxInProbe)
+      baseMembershipTable.where($"doc_id".isin(small.map(Long.box): _*)).count()
+    else
+      baseMembershipTable
+        .join(broadcast(ids.select($"doc_id")), Seq("doc_id"), "left_semi")
+        .count()
+  }
+
   private def liveN(baseN: Long, supersededIds: DataFrame, deltaLiveCount: Long): Long = {
     // N = base docs − superseded ids that existed in base + live delta docs.
-    val inBase: Long =
-      if (baseExists)
-        spark.read.parquet(s"$indexPath/forward")
-          .join(broadcast(supersededIds.select($"doc_id")), Seq("doc_id"), "left_semi")
-          .count()
-      else 0L
+    val inBase: Long = if (baseExists) countInBase(supersededIds) else 0L
     baseN - inBase + deltaLiveCount
   }
 
