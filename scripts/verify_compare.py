@@ -39,7 +39,9 @@ for name in sorted(d.name for d in outp.iterdir() if d.is_dir()):
         def h(df, cols):
             m = hashlib.sha256()
             for r in df[cols].itertuples(index=False):
-                m.update(("|".join(str(v) for v in r)).encode())
+                # row terminator: without it, value shifts that realign
+                # across row boundaries would hash identical
+                m.update(("|".join(str(v) for v in r)).encode() + b"\n")
             return m.hexdigest()
         if row["rows_match"] and row["schema_match"]:
             row["hash_match"] = h(spark, scols) == h(ora, ocols)

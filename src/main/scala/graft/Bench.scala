@@ -42,6 +42,7 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.files.maxPartitionBytes", "8m") // local-scale splits
       .config("spark.sql.files.openCostInBytes", "1m")
+      .config("spark.sql.session.timeZone", "UTC") // NTZ casts must be identity
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     import spark.implicits._
@@ -61,6 +62,12 @@ object Bench {
       (m, (System.nanoTime() - tb0) / 1e9, buildDir)
     }
     val (manifest, buildSec, buildDir) = builds.minBy(_._2)
+    // drop the slower build's index — repeated bench runs must not
+    // accumulate full index copies in the (possibly tmpfs) tmpdir
+    def rmTree(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmTree)); f.delete(): Unit
+    }
+    builds.filter(_._3 != buildDir).foreach(b => rmTree(new java.io.File(b._3)))
     val docsPerSec = manifest.nDocs / math.max(buildSec, 1e-9)
     val postingsPerSec = manifest.metrics("postings") / math.max(buildSec, 1e-9)
 

@@ -244,14 +244,25 @@ final class SearchEngine private[api] (
     */
   private[graft] def countInBase(ids: DataFrame): Long = {
     val small = ids.select($"doc_id").limit(MaxInProbe + 1).collect().map(_.getLong(0))
-    if (small.isEmpty) 0L
-    else if (small.length <= MaxInProbe)
-      baseMembershipTable.where($"doc_id".isin(small.map(Long.box): _*)).count()
+    if (small.length <= MaxInProbe) countInBase(small)
     else
       baseMembershipTable
         .join(broadcast(ids.select($"doc_id")), Seq("doc_id"), "left_semi")
         .count()
   }
+
+  /** Pre-collected form: the WAND path already holds the superseded set on
+    * the driver, so it must not re-run the delta-log query to collect it
+    * again (one saved Spark job per live search).
+    */
+  private[graft] def countInBase(ids: Array[Long]): Long =
+    if (ids.isEmpty) 0L
+    else if (ids.length <= MaxInProbe)
+      baseMembershipTable.where($"doc_id".isin(ids.map(Long.box): _*)).count()
+    else {
+      val df = spark.createDataset(ids.toSeq).toDF("doc_id")
+      baseMembershipTable.join(broadcast(df), Seq("doc_id"), "left_semi").count()
+    }
 
   private def liveN(baseN: Long, supersededIds: DataFrame, deltaLiveCount: Long): Long = {
     // N = base docs − superseded ids that existed in base + live delta docs.
@@ -412,8 +423,14 @@ final class SearchEngine private[api] (
       if (superseded.isEmpty || !baseExists) Map.empty
       else {
         val supDf = spark.createDataset(superseded.toSeq).toDF("doc_id")
-        spark.read.parquet(s"$indexPath/forward")
-          .join(broadcast(supDf), Seq("doc_id"), "left_semi")
+        // additionally push the literal id list into the scan when small
+        // (stats/dictionary pruning); the semi-join stays as the row filter
+        val fwd0 = spark.read.parquet(s"$indexPath/forward")
+        val fwd =
+          if (superseded.size <= 1024)
+            fwd0.where($"doc_id".isin(superseded.toSeq.map(Long.box): _*))
+          else fwd0
+        fwd.join(broadcast(supDf), Seq("doc_id"), "left_semi")
           .select(explode($"terms").as("term"))
           .where($"term".isin(distinctTerms.map(Long.box): _*))
           .groupBy($"term").count().as[(Long, Long)].collect().toMap
@@ -434,7 +451,9 @@ final class SearchEngine private[api] (
         else deltaCands.groupBy($"term").agg(countDistinct($"doc_id").as("df"))
           .as[(Long, Long)].collect().toMap
       val baseN = idx.manifest.nDocs
-      val nLive = if (!hasDeltas) baseN else liveN(baseN, supersededIds, deltaLive.count())
+      val nLive =
+        if (!hasDeltas) baseN
+        else baseN - countInBase(superseded.toArray) + deltaLive.count()
       val dfLive: Map[Long, Long] = distinctTerms.iterator.map { t =>
         t -> (dfsBase.getOrElse(t, 0L) - supCounts.getOrElse(t, 0L) + deltaCounts.getOrElse(t, 0L))
       }.toMap

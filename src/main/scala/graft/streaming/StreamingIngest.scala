@@ -6,8 +6,12 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 
-/** Open-session state for [[StreamingIngest.sessionize]] (epoch micros). */
-case class SessionSt(startUs: Long, lastUs: Long, n: Long, sum: Double)
+/** Buffered not-yet-sealed events for [[StreamingIngest.sessionize]]
+  * (epoch micros; parallel arrays for a stable encoder). Bounded: only
+  * events of sessions the watermark has not sealed yet — at most the
+  * watermark horizon per user.
+  */
+case class SessionBuf(us: Seq[Long], value: Seq[Double])
 
 /** A closed session row — same shape as the batch `evt_sessionize` catalog
   * query minus the (stream-meaningless) per-user session ordinal.
@@ -64,23 +68,28 @@ object StreamingIngest {
   }
 
   /** Per-user sessionization over the events stream — CUSTOM streaming
-    * state via `flatMapGroupsWithState` with an event-time timeout: a
-    * session extends while successive events of the user arrive within
-    * `gapMinutes`; it closes (and is emitted exactly once) either inline,
-    * when a later event of the same user exceeds the gap, or by watermark
-    * timeout when no successor arrives. Identical session boundaries to the
-    * batch `evt_sessionize` catalog query (exact epoch-micros gap math);
-    * StreamingSpec asserts the equivalence on the closed set.
+    * state via `flatMapGroupsWithState` with an event-time timeout.
     *
-    * Scale shape: state is one small fixed-size record per ACTIVE user
-    * (closed sessions leave state immediately), hash-partitioned by user —
-    * the canonical bounded-state streaming aggregation.
+    * A session is only emitted once the WATERMARK seals it (its end plus
+    * the gap lies behind the watermark): until then an admissible
+    * out-of-order event could still extend it, prepend to it, or bridge it
+    * with a neighbor, so earlier emission could contradict batch
+    * semantics. Events are therefore buffered per user, re-sessionized in
+    * sorted order on every invocation, and the sealed prefix emitted —
+    * giving session bounds and counts IDENTICAL to the batch
+    * `evt_sessionize` catalog query for every admissible input, however
+    * disordered across micro-batches (the double sum can differ in
+    * low-order bits only: accumulation order at equal-timestamp ties is
+    * (us, value) here vs the batch plan's hash-agg order).
+    *
+    * Scale shape: state per user is bounded by the watermark horizon
+    * (sealed sessions leave state immediately), hash-partitioned by user —
+    * the canonical bounded-state event-time aggregation.
     */
   def sessionize(spark: SparkSession, events: DataFrame,
                  gapMinutes: Int = 30): Dataset[SessionRow] = {
     import spark.implicits._
     val gapUs = gapMinutes * 60L * 1000000L
-    val gapMs = gapMinutes * 60L * 1000L
     events
       .withColumn("ts", col("ts").cast("timestamp"))
       .withWatermark("ts", s"$gapMinutes minutes")
@@ -90,38 +99,38 @@ object StreamingIngest {
       .groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
         (user: Long, it: Iterator[(Long, java.sql.Timestamp, Long, Double)],
-         state: GroupState[SessionSt]) => {
-          val out = scala.collection.mutable.ArrayBuffer.empty[SessionRow]
-          def close(s: SessionSt): Unit =
-            out += SessionRow(user, s.startUs, s.lastUs, s.n, s.sum)
-          if (state.hasTimedOut) {
-            state.getOption.foreach(close)
-            state.remove()
-          } else {
-            var cur = state.getOption.orNull
-            // in-batch order: by event time (micros), value as a stable
-            // tie-break so double accumulation order is deterministic
-            val evs = it.toArray.sortBy(e => (e._3, e._4))
-            evs.foreach { case (_, _, us, v) =>
-              if (cur == null) cur = SessionSt(us, us, 1, v)
-              else if (us - cur.lastUs > gapUs) { close(cur); cur = SessionSt(us, us, 1, v) }
-              else cur = SessionSt(cur.startUs, math.max(cur.lastUs, us), cur.n + 1, cur.sum + v)
+         state: GroupState[SessionBuf]) => {
+          val incoming = it.map(e => (e._3, e._4)).toArray
+          val prior = state.getOption
+            .map(b => b.us.zip(b.value).toArray).getOrElse(Array.empty[(Long, Double)])
+          val all = (prior ++ incoming).sortBy(identity)
+          if (all.isEmpty) { state.remove(); Iterator.empty }
+          else {
+            // maximal gap-delimited sessions over the sorted buffer
+            val sessions = scala.collection.mutable.ArrayBuffer(
+              scala.collection.mutable.ArrayBuffer(all.head))
+            all.iterator.drop(1).foreach { e =>
+              if (e._1 - sessions.last.last._1 > gapUs)
+                sessions += scala.collection.mutable.ArrayBuffer(e)
+              else sessions.last += e
             }
-            if (cur != null) {
-              val timeoutMs = cur.lastUs / 1000L + gapMs + 1L
-              if (timeoutMs <= state.getCurrentWatermarkMs()) {
-                // the gap already elapsed behind the watermark — no
-                // successor can arrive; close now (a timeout in the past
-                // is not representable)
-                close(cur)
-                state.remove()
-              } else {
-                state.update(cur)
-                state.setTimeoutTimestamp(timeoutMs)
-              }
+            val wmUs = state.getCurrentWatermarkMs() * 1000L
+            val (closed, open) = sessions.span(s => s.last._1 + gapUs < wmUs)
+            val out = closed.map { s =>
+              SessionRow(user, s.head._1, s.last._1, s.length.toLong, s.iterator.map(_._2).sum)
             }
+            if (open.isEmpty) state.remove()
+            else {
+              val rest = open.flatten
+              state.update(SessionBuf(rest.map(_._1).toSeq, rest.map(_._2).toSeq))
+              // wake when the earliest retained session could seal
+              // (timeout timestamps must be strictly above the watermark)
+              val timeoutMs = open.head.last._1 / 1000L + gapUs / 1000L + 1L
+              state.setTimeoutTimestamp(
+                math.max(timeoutMs, state.getCurrentWatermarkMs() + 1L))
+            }
+            out.iterator
           }
-          out.iterator
         })
   }
 }

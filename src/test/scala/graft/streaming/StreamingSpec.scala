@@ -60,20 +60,26 @@ class StreamingSpec extends SparkTestBase {
     assert(gotRows.map(_.toString).toSeq === batchRows.map(_.toString).toSeq)
   }
 
-  test("flatMapGroupsWithState sessionization ≡ batch evt_sessionize on closed sessions") {
-    import org.apache.spark.sql.functions.col
+  test("flatMapGroupsWithState sessionization ≡ batch evt_sessionize on sealed sessions") {
+    import org.apache.spark.sql.functions.{col, unix_micros}
     val sf = "/root/testdata/sf0.001"
+    val gapUs = 30L * 60L * 1000000L
     val events = spark.read.parquet(s"$sf/events.parquet")
-    // two files split at the median ts: the second batch advances the global
-    // watermark over the first's sessions, so tail sessions of batch 1 close
-    // by EVENT-TIME TIMEOUT (not only inline by successor events)
+    // THREE files engineered for cross-batch DISORDER: half the events in
+    // the 15-minute band below the median cut are withheld into file p2, so
+    // batch 2 delivers admissible LATE events (above batch 1's watermark,
+    // below batch 1's max event time) that must prepend to / bridge batch-1
+    // sessions; p3 carries the ordered remainder and the final watermark.
     val srcDir = tmpDir("sess_src")
     val mid = events
       .selectExpr("percentile_approx(unix_micros(cast(ts as timestamp)), 0.5, 1000)")
       .head.get(0).asInstanceOf[Number].longValue
-    val us = org.apache.spark.sql.functions.unix_micros(col("ts").cast("timestamp"))
-    events.where(us <= mid).coalesce(1).write.parquet(s"$srcDir/p1")
-    events.where(us > mid).coalesce(1).write.parquet(s"$srcDir/p2")
+    val band = mid - gapUs / 2
+    val us = unix_micros(col("ts").cast("timestamp"))
+    val late = us > band && us <= mid && col("event_id") % 2 === 0
+    events.where(us <= mid && !late).coalesce(1).write.parquet(s"$srcDir/p1")
+    events.where(late).coalesce(1).write.parquet(s"$srcDir/p2")
+    events.where(us > mid).coalesce(1).write.parquet(s"$srcDir/p3")
 
     val stream = spark.readStream.schema(events.schema)
       .option("maxFilesPerTrigger", 1).parquet(s"$srcDir/*")
@@ -87,9 +93,8 @@ class StreamingSpec extends SparkTestBase {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
     // batch truth from the catalog query (sum_value pre-rounded there)
     val expected = graft.Queries.all("evt_sessionize")(spark, sf).collect()
-      .map(r => ((r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)),
-        (r.getLong(1), r.getDouble(5))))
-    val expByKey = expected.map { case (k, v) => k -> v }.toMap
+      .map(r => ((r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)), r.getDouble(5)))
+    val expByKey = expected.toMap
 
     assert(got.nonEmpty, "no sessions emitted")
     // every emitted session is exactly a batch session (bounds + count
@@ -98,16 +103,21 @@ class StreamingSpec extends SparkTestBase {
       val v = expByKey.get((u, s, e, n))
       assert(v.isDefined, s"emitted session ($u,$s,$e,$n) not in batch result")
       assert(math.abs(BigDecimal(sum).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
-        - v.get._2) < 0.011, s"sum mismatch for ($u,$s,$e)")
+        - v.get) < 0.011, s"sum mismatch for ($u,$s,$e)")
     }
-    // and every NON-LAST session per user must have been emitted (closed
-    // inline by its successor event or by the advancing watermark)
-    val lastPerUser = expected.groupBy(_._1._1).view
-      .mapValues(_.maxBy(_._2._1)._1).toMap
+    // and the emitted set is EXACTLY the watermark-sealed prefix: every
+    // batch session sealed by the final watermark (end + gap behind it,
+    // with a 1 s slack for the ms-granularity watermark) must have been
+    // emitted — however its events were scattered across batches
+    val maxUs = events.select(org.apache.spark.sql.functions.max(us)).head.getLong(0)
+    val finalWmUs = maxUs - gapUs
     val gotKeys = got.map { case (u, s, e, n, _) => (u, s, e, n) }.toSet
-    expected.foreach { case (k @ (u, _, _, _), (sid, _)) =>
-      if (lastPerUser(u) != k)
-        assert(gotKeys.contains(k), s"non-last session $k (ordinal $sid) was never emitted")
+    val mustEmit = expected.collect {
+      case (k @ (_, _, e, _), _) if e + gapUs + 1000000L < finalWmUs => k
+    }
+    assert(mustEmit.nonEmpty)
+    mustEmit.foreach { k =>
+      assert(gotKeys.contains(k), s"sealed session $k was never emitted")
     }
   }
 }
