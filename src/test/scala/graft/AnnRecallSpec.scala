@@ -46,7 +46,7 @@ class AnnRecallSpec extends SparkTestBase {
     assert(r >= 0.9, s"recall@10 = $r on sparse-id corpus")
   }
 
-  test("K and nprobe scale with n (√n / √K defaults)") {
+  test("K and nprobe scale with n (K=⌈√n⌉, nprobe=⌈K/4⌉ defaults)") {
     import org.apache.spark.sql.functions._
     val n = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
       .agg(count(lit(1))).head().getLong(0)
