@@ -10,6 +10,26 @@ object OracleSql {
   private val nltkEn: String =
     graft.text.Stopwords.english.toSeq.sorted.map(w => "'" + w.replace("'", "''") + "'").mkString(", ")
 
+  /** Shared CTE prefix for the hyperplane-LSH entries: `e` = vectors as
+    * DOUBLE[], `b` = one row per (vec, band) with its 8-bit sign code —
+    * the same md5-derived ±1 planes the Spark side embeds as literals
+    * (Queries.hyperplaneSigns), recomputed here in SQL.
+    */
+  private val lshBandsCte: String = {
+    val bit = (p: Int) =>
+      s"""(CASE WHEN list_sum(list_transform(range(1, len(v) + 1),
+         |      d -> CASE WHEN substr(md5('rp:$p:' || (d-1)::VARCHAR), 1, 1) < '8' THEN v[d] ELSE -v[d] END)) >= 0
+         |  THEN '1' ELSE '0' END)""".stripMargin
+    def bandCode(b: Int) =
+      (0 until 8).map(r => bit(b * 8 + r)).mkString(" ||\n    ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |b AS (
+       |  ${(0 until 4).map(k =>
+             s"SELECT vec_id, v, $k AS band,\n    ${bandCode(k)} AS bucket FROM e")
+            .mkString("\n  UNION ALL\n  ")}
+       |)""".stripMargin
+  }
+
   /** BM25 top-20 recomputed from scratch over the post-mutation corpus
     * (remove doc_id%37==0, mutate doc_id%41==0), with avgdl FROZEN at its
     * build-time value over the original corpus (f32-cast like the engine's
@@ -253,21 +273,10 @@ object OracleSql {
         |FROM documents d LEFT JOIN sim s ON d.doc_id = s.doc_id
         |ORDER BY d.doc_id""".stripMargin,
 
-    "dedup_embedding_cosine" -> {
-      val bit = (p: Int) =>
-        s"""(CASE WHEN list_sum(list_transform(range(1, len(v) + 1),
-           |      d -> CASE WHEN substr(md5('rp:$p:' || (d-1)::VARCHAR), 1, 1) < '8' THEN v[d] ELSE -v[d] END)) >= 0
-           |  THEN '1' ELSE '0' END)""".stripMargin
-      def bandCode(b: Int) =
-        (0 until 8).map(r => bit(b * 8 + r)).mkString(" ||\n    ")
-      // 4 bands × 8 planes — candidate pairs collide in ANY band (same
-      // structure as the Spark side), then exact-cosine verified
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |b AS (
-         |  ${(0 until 4).map(k =>
-               s"SELECT vec_id, v, $k AS band,\n    ${bandCode(k)} AS bucket FROM e")
-              .mkString("\n  UNION ALL\n  ")}
-         |),
+    // 4 bands × 8 planes — candidate pairs collide in ANY band (same
+    // structure as the Spark side), then exact-cosine verified
+    "dedup_embedding_cosine" ->
+      s"""$lshBandsCte,
          |cand AS (
          |  SELECT DISTINCT a.vec_id AS a, b2.vec_id AS b
          |  FROM b a JOIN b b2 ON a.band = b2.band AND a.bucket = b2.bucket
@@ -279,8 +288,33 @@ object OracleSql {
          |JOIN e ea ON ea.vec_id = c.a
          |JOIN e eb ON eb.vec_id = c.b
          |WHERE list_cosine_similarity(ea.v, eb.v) >= 0.35
-         |ORDER BY a, b""".stripMargin
-    },
+         |ORDER BY a, b""".stripMargin,
+
+    // LSH-bucketed ANN: the query's band codes + all Hamming-1 flips form
+    // the probe set (9 buckets/band × 4 bands); any-probe collisions are
+    // exact-cosine re-ranked. Same code CTE as the dedup oracle.
+    "sim_ann_lsh" ->
+      s"""$lshBandsCte,
+         |q AS (SELECT band, bucket FROM b WHERE vec_id = 0),
+         |probes AS (
+         |  SELECT band, bucket FROM q
+         |  UNION ALL
+         |  SELECT q.band,
+         |    substr(q.bucket, 1, i::INT - 1)
+         |      || (CASE WHEN substr(q.bucket, i::INT, 1) = '1' THEN '0' ELSE '1' END)
+         |      || substr(q.bucket, i::INT + 1) AS bucket
+         |  FROM q CROSS JOIN range(1, 9) t(i)
+         |),
+         |cand AS (
+         |  SELECT DISTINCT b.vec_id
+         |  FROM b JOIN probes p ON b.band = p.band AND b.bucket = p.bucket
+         |  WHERE b.vec_id <> 0
+         |),
+         |qv AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+         |SELECT c.vec_id,
+         |  round(list_cosine_similarity(e.v, qv.qv), 4) AS cos_r
+         |FROM cand c JOIN e ON e.vec_id = c.vec_id CROSS JOIN qv
+         |ORDER BY cos_r DESC, c.vec_id LIMIT 10""".stripMargin,
 
     "dedup_minhash_verified" ->
       """WITH d AS (

@@ -112,6 +112,96 @@ object Queries {
   private val nltkEnSql: String =
     graft.text.Stopwords.english.toSeq.sorted.map(w => "'" + w.replace("'", "''") + "'").mkString(", ")
 
+  /** Rademacher hyperplane signs for `planes` planes over `dim` dims: plane
+    * p, dim d is +1 iff the first hex digit of md5("rp:p:d") < '8'. Derived
+    * from md5 so the DuckDB oracles reconstruct the SAME ±1 matrix in SQL —
+    * shared by the banded-LSH dedup and the LSH-bucketed ANN probe.
+    */
+  private[graft] def hyperplaneSigns(dim: Int, planes: Int): Array[Array[Int]] =
+    Array.tabulate(planes, dim) { (p, d) =>
+      if (org.apache.commons.codec.digest.DigestUtils.md5Hex(s"rp:$p:$d").charAt(0) < '8') 1 else -1
+    }
+
+  /** The per-row band-code columns over a DOUBLE[] vector column `v`: for
+    * each band, an 8-char '0'/'1' string of hyperplane signs (one struct
+    * column per band). The sign arrays are embedded as ±1 LITERALS (no
+    * per-row hashing) and the dot product is a plain in-order fold, so the
+    * driver-collected codes of any row equal the executor-computed ones
+    * bit-for-bit.
+    */
+  private def bandCodeCols(signs: Array[Array[Int]], bands: Int, planesPerBand: Int) = {
+    def bit(p: Int) = {
+      val arr = signs(p).map(s => if (s > 0) "1D" else "-1D").mkString("array(", ", ", ")")
+      when(expr(
+        s"aggregate(zip_with(v, $arr, (x, s) -> x * s), cast(0 as double), (s, x) -> s + x)") >= 0,
+        lit("1")).otherwise(lit("0"))
+    }
+    (0 until bands).map { b =>
+      val code = concat((0 until planesPerBand).map(r => bit(b * planesPerBand + r)): _*)
+      struct(lit(b).as("band"), code.as("bucket"))
+    }
+  }
+
+  /** LSH-bucketed approximate top-k cosine search — the data-OBLIVIOUS
+    * scale path next to the data-ADAPTIVE IVF (`sim_ann_ivf`): the same
+    * 4-band × 8-plane random-hyperplane codes as `dedup_embedding_cosine`,
+    * probed with query-directed multiprobe — per band, the query's exact
+    * code plus all 8 Hamming-1 flips (9 probe buckets/band, 36 total).
+    * Candidates = vectors colliding with ANY probe bucket; exact-cosine
+    * re-rank; top-10.
+    *
+    * Scale shape: the band codes are a narrow projection; the probe is a
+    * broadcast equi-join against 36 (band, bucket) literals — with the
+    * banded table laid out partitioned by (band, bucket) it prunes at the
+    * file level, touching ~9/256 of each band (~13% of the corpus unioned
+    * over 4 bands) instead of scanning it; candidate ids ride the distinct
+    * alone and vectors re-enter by id (the dedup path's rule). Recall is a
+    * property of the SIMILARITY REGIME, not the data size: ≈1.0 for
+    * near-duplicate neighbors (cos ≥ 0.9 — the regime LSH targets in a
+    * 100 TB dedup/retrieval pipeline; AnnRecallSpec gates it with planted
+    * near-dups), but weak for near-orthogonal "neighbors" like this
+    * synthetic table's organic top-10 (cos ≈ 0.3, where a data-oblivious
+    * hash cannot separate signal from noise — that regime belongs to IVF,
+    * which learns the corpus structure). Unlike IVF there is no trained
+    * state, so the oracle reproduces codes, probes, and re-rank exactly —
+    * this entry is DuckDB value-checked, not rows-only.
+    */
+  def simAnnLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val bands = 4
+    val planesPerBand = 8
+    val e = tbl(spark, sfDir, "embeddings")
+      .select($"vec_id", expr("transform(embedding, x -> cast(x as double))").as("v"))
+    val dim = e.select(size($"v")).head().getInt(0)
+    val signs = hyperplaneSigns(dim, bands * planesPerBand)
+    // shared by the query-code collect and the candidate probe
+    val withB = e.withColumn("bb", explode(array(bandCodeCols(signs, bands, planesPerBand): _*)))
+      .select($"vec_id", $"bb.band".as("band"), $"bb.bucket".as("bucket"))
+      .persist()
+    // query codes come from the SAME plan as the candidates' (collected,
+    // not recomputed driver-side), so they are equal by construction
+    val qCodes: Map[Int, String] = withB.where($"vec_id" === 0)
+      .as[(Long, Int, String)].collect().map(r => r._2 -> r._3).toMap
+    val probes: Seq[(Int, String)] = (0 until bands).flatMap { b =>
+      val c = qCodes(b)
+      (c +: (0 until planesPerBand).map(i =>
+        c.updated(i, if (c.charAt(i) == '1') '0' else '1'))).map(b -> _)
+    }
+    val probeDf = probes.toDF("band", "bucket")
+    val cands = withB.join(broadcast(probeDf), Seq("band", "bucket"))
+      .where($"vec_id" =!= 0)
+      .select($"vec_id").distinct()
+    val q = e.where($"vec_id" === 0).select($"v".as("qv"))
+    cands.join(e, "vec_id").crossJoin(broadcast(q))
+      .withColumn("dot", expr("aggregate(zip_with(v, qv, (x, y) -> x*y), cast(0 as double), (s, p) -> s + p)"))
+      .withColumn("nv", expr("sqrt(aggregate(transform(v, x -> x*x), cast(0 as double), (s, p) -> s + p))"))
+      .withColumn("nq", expr("sqrt(aggregate(transform(qv, x -> x*x), cast(0 as double), (s, p) -> s + p))"))
+      .withColumn("cos_r", round($"dot" / ($"nv" * $"nq"), 4))
+      .select($"vec_id", $"cos_r")
+      .orderBy($"cos_r".desc, $"vec_id")
+      .limit(10)
+  }
+
   /** IVF approximate-nearest-neighbour top-k over the embeddings table —
     * the scale path next to the exact `sim_cosine_topk` baseline.
     *
@@ -476,19 +566,7 @@ object Queries {
       // (the oracle computes the same md5 in SQL — identical signs by
       // construction); the per-row expression is then a plain dot product.
       val dim = e.select(size($"v")).head().getInt(0)
-      def bit(p: Int) = {
-        val signs = (0 until dim).map { d =>
-          val h = org.apache.commons.codec.digest.DigestUtils.md5Hex(s"rp:$p:$d")
-          if (h.charAt(0) < '8') "1D" else "-1D"
-        }.mkString("array(", ", ", ")")
-        when(expr(
-          s"aggregate(zip_with(v, $signs, (x, s) -> x * s), cast(0 as double), (s, x) -> s + x)") >= 0,
-          lit("1")).otherwise(lit("0"))
-      }
-      val bandCols = (0 until bands).map { b =>
-        val code = concat((0 until planesPerBand).map(r => bit(b * planesPerBand + r)): _*)
-        struct(lit(b).as("band"), code.as("bucket"))
-      }
+      val bandCols = bandCodeCols(hyperplaneSigns(dim, bands * planesPerBand), bands, planesPerBand)
       // persist: both self-join legs share the 32 hyperplane projections
       // (ids + band codes only — the vectors stay out of the cache and out
       // of the candidate-pair shuffle)
@@ -539,6 +617,12 @@ object Queries {
     // K scales with √n, centroid updates are partial-aggregated
     // (reduceGroups — no one-task-per-cluster iterator), nprobe = ⌈K/4⌉.
     "sim_ann_ivf" -> { (spark, sfDir) => simAnnIvf(spark, sfDir) },
+
+    // LSH-bucketed ANN (multiprobe hyperplane bands; DuckDB value-checked —
+    // no trained state, unlike IVF): see simAnnLsh. Recall in the
+    // near-duplicate regime is gated with planted neighbors in
+    // AnnRecallSpec.
+    "sim_ann_lsh" -> { (spark, sfDir) => simAnnLsh(spark, sfDir) },
 
     // ------------------------------------------------------ text analysis
 
