@@ -65,6 +65,21 @@ class PlanAuditSpec extends SparkTestBase {
     }
   }
 
+  test("LSH ANN probe is a broadcast equi-join and the distinct carries ids only") {
+    // sim_ann_lsh: the 36-bucket probe must broadcast (never shuffle the
+    // banded table against 36 rows), and the candidate distinct must key
+    // on vec_id alone — vectors re-enter by id after, like the dedup path.
+    val plan = graft.Queries.all("sim_ann_lsh")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"probe join not broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian product in the ANN plan:\n$plan")
+    // the only HashAggregate pair below the re-rank is the id distinct;
+    // it must not group by (or carry) the vector column
+    val distinctAggs = "HashAggregate\\(keys=\\[vec_id[^\\]]*\\]".r.findAllIn(plan).toList
+    assert(distinctAggs.nonEmpty, s"no id-keyed distinct found:\n$plan")
+    assert(!distinctAggs.exists(_.contains(", v")), s"vector rides the distinct keys:\n$plan")
+  }
+
   test("minhash signature plan computes exactly 2 md5s per shingle") {
     // The 8 minhash functions are slices of TWO salted md5s per shingle;
     // that only holds if the hh projection keeps its own Project node
