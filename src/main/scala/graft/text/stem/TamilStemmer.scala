@@ -6,12 +6,15 @@ package graft.text.stem
   *
   * Reconstructed rule-for-rule against the system libstemmer oracle
   * (Snowball 2.2.0): zero mismatches on the 1,313-word reference probe
-  * corpus and 99.98% exact on 30,000-word adversarial random probes
-  * (3–8 residues per seed across six seeds; the residue is degenerate
-  * random suffix juxtapositions — words starting with a virama or sign,
-  * or with non-Tamil codepoints mixed in; see COVERAGE.md). Under default
-  * normalization Tamil script transliterates to Latin before stemming, so
-  * this stemmer fires only for `normalization(false)` configs.
+  * corpus and 1–7 residues per 30,000-word adversarial random probe
+  * (six seeds; every remaining residue mixes non-Tamil codepoints into
+  * the word or starts it with a sign/virama — ill-formed byte salad
+  * unreachable from real text; see COVERAGE.md). The last REACHABLE
+  * divergence class (final vallinam-virama pairs cascading to the empty
+  * stem, e.g. மரக்க் → மர) was closed in round 4 with the 4-char
+  * pair-deletion rule in the fix chain. Under default normalization Tamil
+  * script transliterates to Latin before stemming, so this stemmer fires
+  * only for `normalization(false)` configs.
   *
   * Pipeline: one initial fix pass; question/pronoun prefix strip (with
   * va-start repair); question suffixes; -um; common word endings (with the
@@ -150,6 +153,14 @@ object TamilStemmer extends Stemmer {
     val cumOk = (mode == MCommon || mode == MVet || mode == MTense || mode == MPlural || mode == MCommand) && n > 4
     if (cumOk && w.ends("டும்")) { w.rep(4); return true }
     if (cumOk && (w.ends("தும்") || w.ends("கும்") || w.ends("றும்"))) { w.del(4); return true }
+    // a final vallinam-virama PAIR deletes as one 4-char unit (the specific
+    // ட்ட்/ட்க்/ட்ப்/ற்க்/ற்த்/ந்த்/த்த் rewrites above take precedence) —
+    // oracle: மரக்க் → மர, மரக்க்க் → மரக் (one application, not a repeat),
+    // பைக்க் → பை, ச்க் → '' — while a lone cluster after a NON-vallinam
+    // cluster drops alone (ங்க் → ங்)
+    if (n >= 4 && last == V && isVall(c.charAt(n - 2)) && c.charAt(n - 3) == V && isVall(c.charAt(n - 4))) {
+      w.del(4); return true
+    }
     if (n >= 3 && last == V && isTam18(c.charAt(n - 2)) && c.charAt(n - 3) == V) { w.del(2); return true }
     if (n >= 2 && last == V && isVall(c.charAt(n - 2))) { w.del(2); return true }
     if (w.ends("ங்")) {
