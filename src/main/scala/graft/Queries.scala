@@ -122,6 +122,30 @@ object Queries {
       if (org.apache.commons.codec.digest.DigestUtils.md5Hex(s"rp:$p:$d").charAt(0) < '8') 1 else -1
     }
 
+  /** One shared, persisted (vec_id, band, bucket) projection per
+    * (session, table): the banded-LSH dedup and the LSH ANN probe consume
+    * the same 32 hyperplane projections, so they are computed once per
+    * session, not once per query (ids + 8-char codes only — the vectors
+    * never enter the cache). Bounded: one small entry per embeddings
+    * table a session touches.
+    */
+  private val bandCodeCache =
+    scala.collection.mutable.Map.empty[(Int, String), DataFrame]
+
+  private def cachedBandCodes(spark: SparkSession, sfDir: String,
+                              bands: Int, planesPerBand: Int): DataFrame = synchronized {
+    import spark.implicits._
+    bandCodeCache.getOrElseUpdate((System.identityHashCode(spark), sfDir), {
+      val e = tbl(spark, sfDir, "embeddings")
+        .select($"vec_id", expr("transform(embedding, x -> cast(x as double))").as("v"))
+      val dim = e.select(size($"v")).head().getInt(0)
+      val cols = bandCodeCols(hyperplaneSigns(dim, bands * planesPerBand), bands, planesPerBand)
+      e.withColumn("bb", explode(array(cols: _*)))
+        .select($"vec_id", $"bb.band".as("band"), $"bb.bucket".as("bucket"))
+        .persist()
+    })
+  }
+
   /** The per-row band-code columns over a DOUBLE[] vector column `v`: for
     * each band, an 8-char '0'/'1' string of hyperplane signs (one struct
     * column per band). The sign arrays are embedded as ±1 LITERALS (no
@@ -172,12 +196,9 @@ object Queries {
     val planesPerBand = 8
     val e = tbl(spark, sfDir, "embeddings")
       .select($"vec_id", expr("transform(embedding, x -> cast(x as double))").as("v"))
-    val dim = e.select(size($"v")).head().getInt(0)
-    val signs = hyperplaneSigns(dim, bands * planesPerBand)
-    // shared by the query-code collect and the candidate probe
-    val withB = e.withColumn("bb", explode(array(bandCodeCols(signs, bands, planesPerBand): _*)))
-      .select($"vec_id", $"bb.band".as("band"), $"bb.bucket".as("bucket"))
-      .persist()
+    // shared with dedup_embedding_cosine: one persisted code projection
+    // per session serves the query-code collect and the candidate probe
+    val withB = cachedBandCodes(spark, sfDir, bands, planesPerBand)
     // query codes come from the SAME plan as the candidates' (collected,
     // not recomputed driver-side), so they are equal by construction
     val qCodes: Map[Int, String] = withB.where($"vec_id" === 0)
@@ -565,14 +586,11 @@ object Queries {
       // evaluated ONCE on the driver and embedded as ±1 literal arrays
       // (the oracle computes the same md5 in SQL — identical signs by
       // construction); the per-row expression is then a plain dot product.
-      val dim = e.select(size($"v")).head().getInt(0)
-      val bandCols = bandCodeCols(hyperplaneSigns(dim, bands * planesPerBand), bands, planesPerBand)
-      // persist: both self-join legs share the 32 hyperplane projections
-      // (ids + band codes only — the vectors stay out of the cache and out
-      // of the candidate-pair shuffle)
-      val withB = e.withColumn("bb", explode(array(bandCols: _*)))
-        .select($"vec_id", $"bb.band".as("band"), $"bb.bucket".as("bucket"))
-        .persist()
+      // The persisted code projection is shared with sim_ann_lsh — both
+      // self-join legs (and the ANN probe) reuse the 32 hyperplane
+      // projections (ids + band codes only — the vectors stay out of the
+      // cache and out of the candidate-pair shuffle).
+      val withB = cachedBandCodes(spark, sfDir, bands, planesPerBand)
       withB.count()
       val a = withB.select($"band", $"bucket", $"vec_id".as("a"))
       val b = withB.select($"band", $"bucket", $"vec_id".as("b"))
