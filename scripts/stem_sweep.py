@@ -7,10 +7,14 @@ biased toward corpus-derived suffix/prefix fragments, stems them with the
 system libstemmer oracle (scripts/sb_oracle.py) and with the repo's
 stemmers (graft.tools.StemDump), and reports mismatches.
 
-Round-4 end state: ALL 16 swept languages at 0 mismatches on two
+Round-4 end state: ALL 16 swept languages at 0 mismatches on multiple
 independent ~55k-word sweeps (French 0 besides the documented ë/ï
-Snowball-2.1 class). Tamil (not swept here — its own generator lives in
-the round-4 history) is 0 on the probe corpus and 264/30k adversarial.
+Snowball-2.1 class). NOTE the default seed is `hash(lang) & 0xFFFF`,
+which is randomized per process (PYTHONHASHSEED unset) — every run is a
+FRESH adversarial draw; a late-round-4 draw surfaced the missing PT
+nasal-future verb forms this way. Tamil has its own generator
+(scripts/tamil_sweep.py): 0 on the probe corpus, 1-7/30k adversarial
+(all mixed-script/sign-initial junk).
 
 Usage: python3 scripts/stem_sweep.py [lang ...]   (default: all)
 Requires compiled classes in target/scala-2.13/classes.

@@ -27,6 +27,7 @@ object PortugueseStemmer extends Stemmer {
     "aria", "eria", "iria", "asse", "esse", "isse", "aste", "este",
     "iste", "arei", "erei", "irei", "aram", "eram", "iram", "avam",
     "arem", "erem", "irem", "ando", "endo", "indo", "adas", "idas",
+    "ara~o", "era~o", "ira~o", // future 3pl (ã as the a~ marker)
     "arás", "aras", "erás", "eras", "irás", "avas", "ares", "eres",
     "ires", "íeis", "ados", "idos", "ámos", "amos", "emos", "imos",
     "iras", "ada", "ida", "ará", "ara", "erá", "era", "irá", "ava",
