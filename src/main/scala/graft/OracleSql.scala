@@ -411,6 +411,28 @@ object OracleSql {
         |  sha256(text || ':' || CAST(frame_idx AS VARCHAR)) AS frame_sha
         |FROM s ORDER BY doc_id, frame_idx""".stripMargin,
 
+    // hex lanes parsed like dedup_simhash; lane sums are exact integers so
+    // the mean is order-free and the rounded doubles compare bit-stable
+    "mm_feature_embed" -> {
+      def lane(off: Int) =
+        (0 until 4).map { k =>
+          val w = math.pow(16, 3 - k).toLong
+          s"(strpos('0123456789abcdef', substr(hx, ${off * 4 + k + 1}, 1)) - 1) * $w"
+        }.mkString(" + ")
+      s"""WITH b AS (SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents),
+         |f AS (SELECT doc_id, text, 1 + (n % 16) AS frames FROM b),
+         |s AS (SELECT doc_id, text, frames,
+         |        unnest(generate_series(0, frames - 1, (frames + 3) // 4)) AS frame_idx
+         |      FROM f),
+         |h AS (SELECT doc_id, sha256(text || ':' || CAST(frame_idx AS VARCHAR)) AS hx FROM s),
+         |l AS (SELECT doc_id, d, ${(0 until 8).map(d => s"CASE WHEN d = $d THEN ${lane(d)} END").mkString("coalesce(", ", ", ")")} AS lane
+         |      FROM h CROSS JOIN (SELECT unnest(range(0, 8)) AS d) r),
+         |agg AS (SELECT doc_id, d, sum(lane) AS s, count(*) AS m FROM l GROUP BY doc_id, d)
+         |SELECT doc_id, max(m) AS n_sampled,
+         |  ${(0 until 8).map(d => s"round(max(CASE WHEN d = $d THEN s END)::DOUBLE / (65535.0 * max(m)), 6) AS f$d").mkString(",\n  ")}
+         |FROM agg GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
+
     "mm_resize_meta" ->
       """WITH b AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
         |d AS (SELECT doc_id, 280 + (n % 360) AS width, 160 + (n % 320) AS height FROM b)

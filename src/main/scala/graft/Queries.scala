@@ -745,6 +745,42 @@ object Queries {
         .orderBy($"doc_id", $"frame_idx")
     },
 
+    // Feature extraction over the sampled frames — the decode → per-frame
+    // featurize → pool pipeline as ONE narrow mapPartitions batch (no
+    // shuffle; output partitioning follows the input). The per-frame
+    // "feature" slices the frame fingerprint into 8 16-bit lanes scaled to
+    // [0,1] (a real extractor drops in exactly there, consuming the
+    // decoded frame instead of its sha); pooling sums the lanes as exact
+    // INTEGERS and divides once, so the mean is bit-identical regardless
+    // of frame order — the property that lets the DuckDB oracle
+    // value-check a floating aggregate.
+    "mm_feature_embed" -> { (spark, sfDir) =>
+      import spark.implicits._
+      docs(spark, sfDir).select($"doc_id", $"text").as[(Long, String)]
+        .mapPartitions { it =>
+          it.map { case (id, t) =>
+            val n = t.getBytes(java.nio.charset.StandardCharsets.UTF_8).length
+            val frames = 1 + (n % 16)
+            val step = (frames + 3) / 4
+            val idxs = 0 until frames by step
+            val acc = new Array[Long](8)
+            idxs.foreach { i =>
+              val hex = org.apache.commons.codec.digest.DigestUtils.sha256Hex(s"$t:$i")
+              var d = 0
+              while (d < 8) {
+                acc(d) += java.lang.Integer.parseInt(hex.substring(d * 4, d * 4 + 4), 16)
+                d += 1
+              }
+            }
+            val m = idxs.size
+            (id, m, acc.map(_.toDouble / (65535.0 * m)))
+          }
+        }.toDF("doc_id", "n_sampled", "feat")
+        .select(($"doc_id" +: $"n_sampled" +:
+          (0 until 8).map(d => round($"feat"(d), 6).as(s"f$d"))): _*)
+        .orderBy($"doc_id")
+    },
+
     // Resize planning (aspect-preserving fit into 224×224) over the decoded
     // dimensions: pure integer math (floor via integer division) so the
     // oracle is bit-exact; a real resize kernel would run in the same

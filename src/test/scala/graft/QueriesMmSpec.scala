@@ -29,6 +29,25 @@ class QueriesMmSpec extends SparkTestBase {
     }
   }
 
+  test("mm_feature_embed: mean-pooled frame features are exact integer-lane means in [0,1]") {
+    val rows = Queries.all("mm_feature_embed")(spark, sf).collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      val m = r.getInt(1)
+      assert(m >= 1 && m <= 4)
+      (2 until 10).foreach { c =>
+        val v = r.getDouble(c)
+        assert(v >= 0.0 && v <= 1.0, s"lane out of range: $v")
+      }
+    }
+    // doc 0 samples exactly 1 frame, so its f0 is the first 16-bit lane of
+    // the pinned frame-0 sha ("5b70" = 23408) / 65535, rounded to 6
+    val d0 = rows.find(_.getLong(0) == 0L).get
+    assert(d0.getInt(1) == 1)
+    assert(d0.getDouble(2) ==
+      BigDecimal(0x5b70 / 65535.0).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
   test("mm_resize_meta: aspect-preserving integer fit into 224, pinned row") {
     val rows = Queries.all("mm_resize_meta")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4)))
