@@ -62,14 +62,20 @@ def main() -> None:
         wf.write_text("\n".join(gen(lang)) + "\n")
         orc = subprocess.run(
             [sys.executable, str(REPO / "scripts/sb_oracle.py"), lang],
-            stdin=open(wf), capture_output=True, text=True).stdout
+            stdin=open(wf), capture_output=True, text=True, check=True).stdout
         (OUT / f"{lang}.oracle").write_text(orc)
         subprocess.run(["java", "-cp", cp, "graft.tools.StemDump", lang,
                         str(wf), str(OUT / f"{lang}.ours")],
-                       capture_output=True)
+                       capture_output=True, check=True)
+        # a truncated/stale output file would silently shrink the comparison:
+        # a partial run must fail loudly, never report a too-small mismatch count
+        oracle_lines = open(OUT / f"{lang}.oracle").readlines()
+        ours_lines = open(OUT / f"{lang}.ours").readlines()
+        assert len(oracle_lines) == len(ours_lines), (
+            f"{lang}: oracle {len(oracle_lines)} lines vs ours {len(ours_lines)}")
         n = mis = trema = 0
         ex = []
-        for o, u in zip(open(OUT / f"{lang}.oracle"), open(OUT / f"{lang}.ours")):
+        for o, u in zip(oracle_lines, ours_lines):
             po, pu = o.rstrip("\n").split("\t"), u.rstrip("\n").split("\t")
             if len(po) < 2 or len(pu) < 2:
                 continue

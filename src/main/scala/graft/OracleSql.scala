@@ -30,6 +30,46 @@ object OracleSql {
        |)""".stripMargin
   }
 
+  /** Shared minhash CTE chain (d → sh → hh → sig): 3-word shingles, 8
+    * minhash functions as 8-hex-digit slices of 2 md5s per shingle — the
+    * single source of truth for every minhash oracle, mirroring the one
+    * Spark implementation (a hash-family tweak lands here exactly once).
+    */
+  private val minhashSigCte: String =
+    """WITH d AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+      |), sh AS (
+      |  SELECT doc_id,
+      |    list_transform(range(1, len(ws) - 1),
+      |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS shingles
+      |  FROM d WHERE len(ws) >= 3
+      |), hh AS (
+      |  SELECT doc_id,
+      |    list_transform(shingles, s -> md5('0:' || s) || md5('1:' || s)) AS hh
+      |  FROM sh
+      |), sig AS (
+      |  SELECT doc_id,
+      |    list_aggregate(list_transform(hh, m -> substring(m, 1, 8)), 'min') AS h0,
+      |    list_aggregate(list_transform(hh, m -> substring(m, 9, 8)), 'min') AS h1,
+      |    list_aggregate(list_transform(hh, m -> substring(m, 17, 8)), 'min') AS h2,
+      |    list_aggregate(list_transform(hh, m -> substring(m, 25, 8)), 'min') AS h3,
+      |    list_aggregate(list_transform(hh, m -> substring(m, 33, 8)), 'min') AS h4,
+      |    list_aggregate(list_transform(hh, m -> substring(m, 41, 8)), 'min') AS h5,
+      |    list_aggregate(list_transform(hh, m -> substring(m, 49, 8)), 'min') AS h6,
+      |    list_aggregate(list_transform(hh, m -> substring(m, 57, 8)), 'min') AS h7
+      |  FROM hh
+      |)""".stripMargin
+
+  /** [[minhashSigCte]] extended with the 4×2 banding. */
+  private val minhashBandsCte: String =
+    minhashSigCte +
+      """, bands AS (
+        |  SELECT doc_id, 0 AS band, md5(h0 || h1) AS bucket FROM sig
+        |  UNION ALL SELECT doc_id, 1, md5(h2 || h3) FROM sig
+        |  UNION ALL SELECT doc_id, 2, md5(h4 || h5) FROM sig
+        |  UNION ALL SELECT doc_id, 3, md5(h6 || h7) FROM sig
+        |)""".stripMargin
+
   /** BM25 top-20 recomputed from scratch over the post-mutation corpus
     * (remove doc_id%37==0, mutate doc_id%41==0), with avgdl FROZEN at its
     * build-time value over the original corpus (f32-cast like the engine's
@@ -177,65 +217,18 @@ object OracleSql {
         |ORDER BY a, b""".stripMargin,
 
     "dedup_minhash_sig" ->
-      """WITH d AS (
-        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
-        |), sh AS (
-        |  SELECT doc_id,
-        |    list_transform(range(1, len(ws) - 1),
-        |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS shingles
-        |  FROM d WHERE len(ws) >= 3
-        |), hh AS (
-        |  SELECT doc_id,
-        |    list_transform(shingles, s -> md5('0:' || s) || md5('1:' || s)) AS hh
-        |  FROM sh
-        |), sig AS (
-        |  SELECT doc_id,
-        |    list_aggregate(list_transform(hh, m -> substring(m, 1, 8)), 'min') AS h0,
-        |    list_aggregate(list_transform(hh, m -> substring(m, 9, 8)), 'min') AS h1,
-        |    list_aggregate(list_transform(hh, m -> substring(m, 17, 8)), 'min') AS h2,
-        |    list_aggregate(list_transform(hh, m -> substring(m, 25, 8)), 'min') AS h3,
-        |    list_aggregate(list_transform(hh, m -> substring(m, 33, 8)), 'min') AS h4,
-        |    list_aggregate(list_transform(hh, m -> substring(m, 41, 8)), 'min') AS h5,
-        |    list_aggregate(list_transform(hh, m -> substring(m, 49, 8)), 'min') AS h6,
-        |    list_aggregate(list_transform(hh, m -> substring(m, 57, 8)), 'min') AS h7
-        |  FROM hh
-        |)
-        |SELECT doc_id, md5(h0 || h1) AS band0, md5(h2 || h3) AS band1,
-        |       md5(h4 || h5) AS band2, md5(h6 || h7) AS band3
-        |FROM sig ORDER BY doc_id""".stripMargin,
+      (minhashSigCte +
+        """
+          |SELECT doc_id, md5(h0 || h1) AS band0, md5(h2 || h3) AS band1,
+          |       md5(h4 || h5) AS band2, md5(h6 || h7) AS band3
+          |FROM sig ORDER BY doc_id""".stripMargin),
 
     "dedup_minhash_pairs" ->
-      """WITH d AS (
-        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
-        |), sh AS (
-        |  SELECT doc_id,
-        |    list_transform(range(1, len(ws) - 1),
-        |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS shingles
-        |  FROM d WHERE len(ws) >= 3
-        |), hh AS (
-        |  SELECT doc_id,
-        |    list_transform(shingles, s -> md5('0:' || s) || md5('1:' || s)) AS hh
-        |  FROM sh
-        |), sig AS (
-        |  SELECT doc_id,
-        |    list_aggregate(list_transform(hh, m -> substring(m, 1, 8)), 'min') AS h0,
-        |    list_aggregate(list_transform(hh, m -> substring(m, 9, 8)), 'min') AS h1,
-        |    list_aggregate(list_transform(hh, m -> substring(m, 17, 8)), 'min') AS h2,
-        |    list_aggregate(list_transform(hh, m -> substring(m, 25, 8)), 'min') AS h3,
-        |    list_aggregate(list_transform(hh, m -> substring(m, 33, 8)), 'min') AS h4,
-        |    list_aggregate(list_transform(hh, m -> substring(m, 41, 8)), 'min') AS h5,
-        |    list_aggregate(list_transform(hh, m -> substring(m, 49, 8)), 'min') AS h6,
-        |    list_aggregate(list_transform(hh, m -> substring(m, 57, 8)), 'min') AS h7
-        |  FROM hh
-        |), bands AS (
-        |  SELECT doc_id, 0 AS band, md5(h0 || h1) AS bucket FROM sig
-        |  UNION ALL SELECT doc_id, 1, md5(h2 || h3) FROM sig
-        |  UNION ALL SELECT doc_id, 2, md5(h4 || h5) FROM sig
-        |  UNION ALL SELECT doc_id, 3, md5(h6 || h7) FROM sig
-        |)
-        |SELECT band, bucket, count(*) AS cnt, min(doc_id) AS min_doc, max(doc_id) AS max_doc
-        |FROM bands GROUP BY band, bucket HAVING count(*) > 1
-        |ORDER BY band, bucket""".stripMargin,
+      (minhashBandsCte +
+        """
+          |SELECT band, bucket, count(*) AS cnt, min(doc_id) AS min_doc, max(doc_id) AS max_doc
+          |FROM bands GROUP BY band, bucket HAVING count(*) > 1
+          |ORDER BY band, bucket""".stripMargin),
 
     // 32-bit tf-weighted SimHash, bit-for-bit: the md5-prefix hash is
     // re-parsed in SQL via strpos('0123456789abcdef', …) digit extraction,
@@ -317,34 +310,8 @@ object OracleSql {
          |ORDER BY cos_r DESC, c.vec_id LIMIT 10""".stripMargin,
 
     "dedup_minhash_verified" ->
-      """WITH d AS (
-        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
-        |), sh AS (
-        |  SELECT doc_id,
-        |    list_transform(range(1, len(ws) - 1),
-        |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS shingles
-        |  FROM d WHERE len(ws) >= 3
-        |), hh AS (
-        |  SELECT doc_id,
-        |    list_transform(shingles, s -> md5('0:' || s) || md5('1:' || s)) AS hh
-        |  FROM sh
-        |), sig AS (
-        |  SELECT doc_id,
-        |    list_aggregate(list_transform(hh, m -> substring(m, 1, 8)), 'min') AS h0,
-        |    list_aggregate(list_transform(hh, m -> substring(m, 9, 8)), 'min') AS h1,
-        |    list_aggregate(list_transform(hh, m -> substring(m, 17, 8)), 'min') AS h2,
-        |    list_aggregate(list_transform(hh, m -> substring(m, 25, 8)), 'min') AS h3,
-        |    list_aggregate(list_transform(hh, m -> substring(m, 33, 8)), 'min') AS h4,
-        |    list_aggregate(list_transform(hh, m -> substring(m, 41, 8)), 'min') AS h5,
-        |    list_aggregate(list_transform(hh, m -> substring(m, 49, 8)), 'min') AS h6,
-        |    list_aggregate(list_transform(hh, m -> substring(m, 57, 8)), 'min') AS h7
-        |  FROM hh
-        |), bands AS (
-        |  SELECT doc_id, 0 AS band, md5(h0 || h1) AS bucket FROM sig
-        |  UNION ALL SELECT doc_id, 1, md5(h2 || h3) FROM sig
-        |  UNION ALL SELECT doc_id, 2, md5(h4 || h5) FROM sig
-        |  UNION ALL SELECT doc_id, 3, md5(h6 || h7) FROM sig
-        |), pairs AS (
+      (minhashBandsCte +
+      """, pairs AS (
         |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
         |  FROM bands x JOIN bands y
         |    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
@@ -357,7 +324,7 @@ object OracleSql {
         |FROM pairs JOIN s sa ON pairs.a = sa.doc_id JOIN s sb ON pairs.b = sb.doc_id
         |WHERE len(list_intersect(sa.shs, sb.shs))::DOUBLE
         |      / (len(sa.shs) + len(sb.shs) - len(list_intersect(sa.shs, sb.shs))) >= 0.7
-        |ORDER BY a, b""".stripMargin,
+        |ORDER BY a, b""".stripMargin),
 
     "sim_cosine_topk" ->
       """WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0)

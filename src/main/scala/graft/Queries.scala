@@ -123,19 +123,31 @@ object Queries {
     }
 
   /** One shared, persisted (vec_id, band, bucket) projection per
-    * (session, table): the banded-LSH dedup and the LSH ANN probe consume
-    * the same 32 hyperplane projections, so they are computed once per
-    * session, not once per query (ids + 8-char codes only — the vectors
-    * never enter the cache). Bounded: one small entry per embeddings
-    * table a session touches.
+    * (session, table, band geometry): the banded-LSH dedup and the LSH ANN
+    * probe consume the same 32 hyperplane projections, so they are computed
+    * once per session, not once per query (ids + 8-char codes only — the
+    * vectors never enter the cache). Bounded at [[BandCodeCacheMax]] entries
+    * (oldest unpersisted on eviction); entries of stopped sessions are
+    * dropped eagerly.
     */
   private val bandCodeCache =
-    scala.collection.mutable.Map.empty[(Int, String), DataFrame]
+    scala.collection.mutable.LinkedHashMap.empty[(Int, String, Int, Int), DataFrame]
+  private val BandCodeCacheMax = 8
 
   private def cachedBandCodes(spark: SparkSession, sfDir: String,
                               bands: Int, planesPerBand: Int): DataFrame = synchronized {
     import spark.implicits._
-    bandCodeCache.getOrElseUpdate((System.identityHashCode(spark), sfDir), {
+    // entries from stopped sessions are dead weight (and identityHashCode can
+    // be reused after GC) — drop them before lookup
+    bandCodeCache.filterInPlace((_, df) => !df.sparkSession.sparkContext.isStopped)
+    val key = (System.identityHashCode(spark), sfDir, bands, planesPerBand)
+    if (!bandCodeCache.contains(key))
+      while (bandCodeCache.size >= BandCodeCacheMax) {
+        val (k, df) = bandCodeCache.head
+        df.unpersist(blocking = false)
+        bandCodeCache.remove(k)
+      }
+    bandCodeCache.getOrElseUpdate(key, {
       val e = tbl(spark, sfDir, "embeddings")
         .select($"vec_id", expr("transform(embedding, x -> cast(x as double))").as("v"))
       val dim = e.select(size($"v")).head().getInt(0)
@@ -874,10 +886,11 @@ object Queries {
       import org.apache.spark.sql.expressions.Window
       val byUser = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
       tbl(spark, sfDir, "events")
-        // ts is TIMESTAMP_NTZ in the parquet; the session TZ is UTC so the
-        // cast is the identity on the stored micros (matches epoch_us in
-        // the DuckDB oracle)
-        .withColumn("us", unix_micros($"ts".cast("timestamp")))
+        // ts is TIMESTAMP_NTZ in the parquet; NTZ-to-NTZ timestampdiff reads
+        // the stored micros directly, independent of the session time zone
+        // (matches epoch_us in the DuckDB oracle under ANY session TZ)
+        .withColumn("us",
+          expr("timestampdiff(MICROSECOND, timestamp_ntz'1970-01-01 00:00:00', ts)"))
         .withColumn("prev_us", lag($"us", 1).over(byUser))
         .withColumn("new_s",
           when($"prev_us".isNull || $"us" - $"prev_us" > 1800L * 1000000L, 1L).otherwise(0L))

@@ -57,10 +57,27 @@ final class SearchEngine private[api] (
   // superseded sets up to this size take the collected-IN probe path
   private val MaxInProbe = 10000
 
+  /** Layout gate: logs created by this engine are bucket-partitioned, but a
+    * dir written before the bucketed layout (flat part files, no `bucket=`
+    * dirs) must stay flat — appending partition dirs next to flat files
+    * breaks parquet partition discovery for every subsequent read. Such a
+    * legacy log keeps the flat layout for both appends and point reads
+    * (which then rely on doc_id row-group pushdown alone). Decided once, at
+    * the first log access of this engine instance.
+    */
+  private lazy val bucketedLog: Boolean = {
+    val names = Option(new java.io.File(logPath).list()).getOrElse(Array.empty[String])
+    val dataNames = names.filterNot(_.startsWith("_"))
+    dataNames.isEmpty || dataNames.exists(_.startsWith("bucket="))
+  }
+
   /** All log writers funnel here: stamps the bucket partition column. */
   private def writeLog(df: DataFrame): Unit =
-    df.withColumn("bucket", pmod($"doc_id", lit(DocstoreBuckets.toLong)))
-      .write.mode(SaveMode.Append).partitionBy("bucket").parquet(logPath)
+    if (bucketedLog)
+      df.withColumn("bucket", pmod($"doc_id", lit(DocstoreBuckets.toLong)))
+        .write.mode(SaveMode.Append).partitionBy("bucket").parquet(logPath)
+    else
+      df.write.mode(SaveMode.Append).parquet(logPath)
 
   private var nextSeq: Long = currentMaxSeq() + 1
 
@@ -159,12 +176,20 @@ final class SearchEngine private[api] (
       .as[Doc].collect().headOption
   }
 
-  /** The pruned latest-row plan for one key (exposed for the plan audit). */
+  /** The pruned latest-row plan for one key (exposed for the plan audit).
+    * Filters on the STRING key as well as its hash surrogate: the surrogate
+    * prunes (partition dir + row-group stats), the key equality guarantees a
+    * colliding key's rows can never shadow the requested doc.
+    */
   private[graft] def pointRows(id: String): DataFrame = {
     val sid = surrogate(id)
     val w = org.apache.spark.sql.expressions.Window.partitionBy($"doc_id").orderBy($"seq".desc)
-    spark.read.parquet(logPath)
-      .where($"bucket" === sid % DocstoreBuckets && $"doc_id" === sid)
+    val pruned =
+      if (bucketedLog)
+        spark.read.parquet(logPath).where($"bucket" === sid % DocstoreBuckets)
+      else spark.read.parquet(logPath)
+    pruned
+      .where($"doc_id" === sid && $"key" === id)
       .withColumn("rn", row_number().over(w))
   }
 

@@ -75,31 +75,27 @@ final class Embedder(val params: Bm25Params, val tokenizer: TextTokenizer,
     * reference's upsert-time computation).
     */
   def termFrequencies(text: String): (Array[Long], Array[Int], Int) = {
-    tokenizer match {
+    val (counts, dl) = tokenizer match {
       // Fused path (stock hashers only): region-cached tokenize+hash — no
       // token array, no per-token allocation on cache hits. Identical
       // output by construction (same stopword/stem/hash tables, same
       // insertion order); FusedPathSpec asserts it.
       case b: Bm25Tokenizer if graft.text.TokenHashCache.supports(hasher) =>
         val counts = new LongIntMap(64)
-        val dl = b.foreachTermHash(text, hasher)(counts.increment)
-        val terms = new Array[Long](counts.size)
-        val tfs = new Array[Int](counts.size)
-        var i = 0
-        counts.foreachOrdered { (k, v) => terms(i) = k; tfs(i) = v; i += 1 }
-        (terms, tfs, dl)
+        (counts, b.foreachTermHash(text, hasher)(counts.increment))
       case _ =>
         val tokens = tokenizer.tokenize(text)
         val dl = tokens.length
         val counts = new LongIntMap(dl)
         var i = 0
         while (i < dl) { counts.increment(hasher.hash(tokens(i))); i += 1 }
-        val terms = new Array[Long](counts.size)
-        val tfs = new Array[Int](counts.size)
-        i = 0
-        counts.foreachOrdered { (k, v) => terms(i) = k; tfs(i) = v; i += 1 }
-        (terms, tfs, dl)
+        (counts, dl)
     }
+    val terms = new Array[Long](counts.size)
+    val tfs = new Array[Int](counts.size)
+    var i = 0
+    counts.foreachOrdered { (k, v) => terms(i) = k; tfs(i) = v; i += 1 }
+    (terms, tfs, dl)
   }
 }
 

@@ -235,6 +235,25 @@ class SearchEngineSpec extends SparkTestBase {
       "live-WAND should have pruned at least one block with a nonempty delta")
   }
 
+  test("a pre-bucketing flat docstore dir stays readable and appendable (layout gate)") {
+    import spark.implicits._
+    val dir = tmpDir("legacy")
+    // simulate a log written before the bucketed layout: flat part files,
+    // no bucket column, no partition directories
+    val sid = graft.text.FxHash.hash64("old doc") & Long.MaxValue
+    Seq(LogRow(sid, "old doc", "grilled cheese sandwich", 0L, tombstone = false))
+      .toDS().coalesce(1).write.parquet(s"$dir/docstore")
+    val eng = SearchEngine.withAvgdl(spark, dir, 4.0f)
+    assert(eng.get("old doc").contains(Doc("old doc", "grilled cheese sandwich")))
+    // appends must stay flat — partition dirs next to flat files would break
+    // parquet partition discovery for every later read
+    eng.upsert(Doc("new doc", "bacon avocado sandwich"))
+    assert(eng.count() === 2)
+    assert(eng.get("new doc").exists(_.contents == "bacon avocado sandwich"))
+    assert(eng.search("sandwich", None).map(_.id).toSet === Set("old doc", "new doc"))
+    assert(!new java.io.File(s"$dir/docstore").list().exists(_.startsWith("bucket=")))
+  }
+
   test("compaction preserves search results exactly") {
     val base = Seq(
       Doc("a", "spark shuffle join"), Doc("b", "shuffle sort merge"),
