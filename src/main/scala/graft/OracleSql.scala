@@ -326,6 +326,37 @@ object OracleSql {
         |      / (len(sa.shs) + len(sb.shs) - len(list_intersect(sa.shs, sb.shs))) >= 0.7
         |ORDER BY a, b""".stripMargin),
 
+    // Connected components over the verified near-dup pairs: the closure is
+    // a recursive CTE (fine at oracle scale — components are tiny), cluster
+    // id = min doc_id reachable. Mirrors the Spark side's label-propagation
+    // fixpoint exactly.
+    "dedup_clusters" ->
+      (minhashBandsCte.replaceFirst("^WITH ", "WITH RECURSIVE ") +
+      """, pairsb AS (
+        |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        |  FROM bands x JOIN bands y
+        |    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+        |), shd AS (
+        |  SELECT doc_id, list_distinct(shingles) AS shs FROM sh
+        |), vp AS (
+        |  SELECT a, b
+        |  FROM pairsb JOIN shd sa ON pairsb.a = sa.doc_id JOIN shd sb ON pairsb.b = sb.doc_id
+        |  WHERE len(list_intersect(sa.shs, sb.shs))::DOUBLE
+        |        / (len(sa.shs) + len(sb.shs) - len(list_intersect(sa.shs, sb.shs))) >= 0.7
+        |), edges AS (
+        |  SELECT a AS st, b AS tt FROM vp UNION SELECT b, a FROM vp
+        |), reach AS (
+        |  SELECT st, tt FROM edges
+        |  UNION
+        |  SELECT r.st, e.tt FROM reach r JOIN edges e ON r.tt = e.st
+        |)
+        |SELECT r.st AS doc_id,
+        |  least(r.st, min(r.tt)) AS cluster_id,
+        |  CASE WHEN least(r.st, min(r.tt)) = r.st THEN 1 ELSE 0 END AS keep
+        |FROM reach r
+        |GROUP BY r.st
+        |ORDER BY doc_id""".stripMargin),
+
     "sim_cosine_topk" ->
       """WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0)
         |SELECT vec_id, round(list_cosine_similarity(embedding::DOUBLE[], qe), 4) AS cos_r

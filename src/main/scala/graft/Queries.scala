@@ -553,6 +553,52 @@ object Queries {
         .orderBy($"a", $"b")
     },
 
+    // Near-duplicate CLUSTERING — the dedup output a training pipeline
+    // actually consumes: connected components over the verified near-dup
+    // pair graph (dedup_minhash_verified's edges). Every clustered doc is
+    // labeled with its component's MINIMUM doc_id and the canonical keeper
+    // flagged, so "drop keep=0" is the dedup action. Spark shape: iterative
+    // min-label propagation — each round is one equi-join + hash-agg,
+    // fully distributed (the driver only checks the converged-count
+    // scalar), converging in O(component diameter) rounds; near-dup
+    // clusters are shallow (a doc chains to the canonical through few
+    // hops), and the O(log n) large-star/small-star variant is the known
+    // swap-in if diameters ever grow at 100 TB.
+    "dedup_clusters" -> { (spark, sfDir) =>
+      import spark.implicits._
+      val pairs = all("dedup_minhash_verified")(spark, sfDir)
+        .select($"a", $"b").persist()
+      val edges = pairs.union(pairs.select($"b", $"a")).toDF("s", "t").persist()
+      edges.count()
+      pairs.unpersist(blocking = false)
+      var labels = edges.select($"s".as("node")).distinct()
+        .withColumn("label", $"node").persist()
+      labels.count()
+      var changed = 1L
+      var rounds = 0
+      while (changed > 0 && rounds < 32) {
+        val nbrMin = edges
+          .join(labels.select($"node".as("t"), $"label".as("lt")), "t")
+          .groupBy($"s").agg(min($"lt").as("nl"))
+        val next = labels
+          .join(nbrMin.select($"s".as("node"), $"nl"), Seq("node"), "left")
+          .select($"node", least($"label", coalesce($"nl", $"label")).as("label"))
+          .persist()
+        next.count()
+        changed = labels
+          .join(next.select($"node", $"label".as("newl")), "node")
+          .where($"label" =!= $"newl").count()
+        labels.unpersist(blocking = false)
+        labels = next
+        rounds += 1
+      }
+      require(changed == 0, s"label propagation did not converge in $rounds rounds")
+      edges.unpersist(blocking = false)
+      labels.select($"node".as("doc_id"), $"label".as("cluster_id"),
+        when($"node" === $"label", 1).otherwise(0).as("keep"))
+        .orderBy($"doc_id")
+    },
+
     // SimHash (rows-only: bit-twiddling is not portable DuckDB SQL): 32-bit
     // fingerprint from md5(word) bits, majority-weighted by tf.
     "dedup_simhash" -> { (spark, sfDir) =>
