@@ -571,25 +571,27 @@ object Queries {
       val edges = pairs.union(pairs.select($"b", $"a")).toDF("s", "t").persist()
       edges.count()
       pairs.unpersist(blocking = false)
-      var labels = edges.select($"s".as("node")).distinct()
-        .withColumn("label", $"node").persist()
-      labels.count()
+      // init fuses the first propagation round: label0 = min(self, neighbors)
+      var labels = edges.groupBy($"s").agg(min($"t").as("mt"))
+        .select($"s".as("node"), least($"s", $"mt").as("label")).persist()
+      var cached = labels // the persisted frame currently backing `labels`
       var changed = 1L
       var rounds = 0
       while (changed > 0 && rounds < 32) {
         val nbrMin = edges
           .join(labels.select($"node".as("t"), $"label".as("lt")), "t")
           .groupBy($"s").agg(min($"lt").as("nl"))
-        val next = labels
+        // carry the previous label through the round so convergence is read
+        // off the SAME cached frame — one action and no extra join per round
+        val step = labels
           .join(nbrMin.select($"s".as("node"), $"nl"), Seq("node"), "left")
-          .select($"node", least($"label", coalesce($"nl", $"label")).as("label"))
+          .select($"node", $"label".as("prev"),
+            least($"label", coalesce($"nl", $"label")).as("label"))
           .persist()
-        next.count()
-        changed = labels
-          .join(next.select($"node", $"label".as("newl")), "node")
-          .where($"label" =!= $"newl").count()
-        labels.unpersist(blocking = false)
-        labels = next
+        changed = step.where($"label" =!= $"prev").count()
+        cached.unpersist(blocking = false)
+        cached = step
+        labels = step.select($"node", $"label")
         rounds += 1
       }
       require(changed == 0, s"label propagation did not converge in $rounds rounds")
