@@ -374,6 +374,30 @@ object OracleSql {
          |  round(len(list_distinct(ws))::DOUBLE / len(ws), 4) AS distinct_ratio
          |FROM d ORDER BY doc_id""".stripMargin,
 
+    "pipe_sample_mix" ->
+      """SELECT doc_id, source,
+        |  round((1.0 + (substring(source, 4)::INT % 4)) / 4.0, 2) AS rate
+        |FROM documents
+        |WHERE strpos('0123456789abcdef', substring(md5('mix:' || doc_id::VARCHAR), 1, 1)) - 1
+        |      < ((1.0 + (substring(source, 4)::INT % 4)) / 4.0) * 16
+        |ORDER BY doc_id""".stripMargin,
+
+    "textq_repetition" ->
+      """WITH w AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws FROM documents
+        |), b AS (
+        |  SELECT doc_id, ws, len(ws) AS n,
+        |    list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1]) AS bg
+        |  FROM w
+        |)
+        |SELECT doc_id, n AS n_words,
+        |  round(CASE WHEN n > 0 THEN 1.0 - len(list_distinct(ws))::DOUBLE / n ELSE 0 END, 4) AS dup_word_frac,
+        |  round(CASE WHEN n >= 2 THEN 1.0 - len(list_distinct(bg))::DOUBLE / (n - 1) ELSE 0 END, 4) AS dup_bigram_frac,
+        |  round(CASE WHEN n > 0 THEN
+        |    list_max(list_transform(list_distinct(ws), w2 -> len(list_filter(ws, x -> x = w2))))::DOUBLE / n
+        |  ELSE 0 END, 4) AS top_word_frac
+        |FROM b ORDER BY doc_id""".stripMargin,
+
     "textq_langid" -> langidSql,
 
     "textq_fingerprint" ->

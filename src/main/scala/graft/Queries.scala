@@ -717,6 +717,50 @@ object Queries {
         .orderBy($"doc_id")
     },
 
+    // Deterministic stratified sampling — the data-MIXING op: each source
+    // stratum keeps a fixed fraction (0.25/0.5/0.75/1.0, derived from the
+    // source id) selected by a salted md5 hex digit of the doc id, so the
+    // sample is exactly reproducible across engines, retries and cluster
+    // sizes with NO RNG state (a rerun of a failed 100 TB partition keeps
+    // the identical docs). Narrow scan + filter, no shuffle.
+    "pipe_sample_mix" -> { (spark, sfDir) =>
+      import spark.implicits._
+      docs(spark, sfDir)
+        .withColumn("rate", (lit(1.0) + substring($"source", 4, 10).cast("int") % 4) / 4.0)
+        .withColumn("bucket", expr(
+          "instr('0123456789abcdef', substring(md5(concat('mix:', cast(doc_id as string))), 1, 1)) - 1"))
+        .where($"bucket" < $"rate" * 16)
+        .select($"doc_id", $"source", round($"rate", 2).as("rate"))
+        .orderBy($"doc_id")
+    },
+
+    // Repetition signals (the Gopher/C4-style quality-filter inputs that
+    // textq_quality's length/stopword ratios do not cover): duplicate-word
+    // fraction, duplicate word-bigram fraction, and top-word concentration.
+    // Pure narrow map over per-row arrays — no shuffle, trivially linear at
+    // any corpus size; the top-word scan is O(distinct × words) per row,
+    // bounded by document length.
+    "textq_repetition" -> { (spark, sfDir) =>
+      import spark.implicits._
+      docs(spark, sfDir)
+        .select($"doc_id", expr("filter(split(text, ' '), x -> x <> '')").as("ws"))
+        .withColumn("n", size($"ws"))
+        .withColumn("bg", when($"n" >= 2, expr(
+          "transform(sequence(0, size(ws)-2), i -> concat(ws[i], ' ', ws[i+1]))"))
+          .otherwise(expr("cast(array() as array<string>)")))
+        .select($"doc_id", $"n".as("n_words"),
+          round(when($"n" > 0,
+            lit(1.0) - size(array_distinct($"ws")).cast("double") / $"n")
+            .otherwise(0.0), 4).as("dup_word_frac"),
+          round(when($"n" >= 2,
+            lit(1.0) - size(array_distinct($"bg")).cast("double") / ($"n" - 1))
+            .otherwise(0.0), 4).as("dup_bigram_frac"),
+          round(when($"n" > 0, expr(
+            "array_max(transform(array_distinct(ws), w -> size(filter(ws, x -> x = w))))")
+            .cast("double") / $"n").otherwise(0.0), 4).as("top_word_frac"))
+        .orderBy($"doc_id")
+    },
+
     // T6 Detect mode's classifier over the whole corpus: script detection
     // for the non-Latin languages + full-NLTK-stopword hit counting across
     // the 13 Latin-script languages (LanguageDetector — the same object
