@@ -70,6 +70,27 @@ object OracleSql {
         |  UNION ALL SELECT doc_id, 3, md5(h6 || h7) FROM sig
         |)""".stripMargin
 
+  /** [[minhashBandsCte]] extended with band-collision pairs verified by
+    * exact 3-shingle Jaccard ≥ 0.7 (`vp`) — shared by the pair-listing and
+    * clustering oracles so the verification rule exists exactly once.
+    */
+  private val verifiedPairsCte: String =
+    minhashBandsCte +
+      """, pairsb AS (
+        |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        |  FROM bands x JOIN bands y
+        |    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+        |), shd AS (
+        |  SELECT doc_id, list_distinct(shingles) AS shs FROM sh
+        |), vp AS (
+        |  SELECT a, b,
+        |    len(list_intersect(sa.shs, sb.shs))::DOUBLE
+        |      / (len(sa.shs) + len(sb.shs) - len(list_intersect(sa.shs, sb.shs))) AS jac
+        |  FROM pairsb JOIN shd sa ON pairsb.a = sa.doc_id JOIN shd sb ON pairsb.b = sb.doc_id
+        |  WHERE len(list_intersect(sa.shs, sb.shs))::DOUBLE
+        |        / (len(sa.shs) + len(sb.shs) - len(list_intersect(sa.shs, sb.shs))) >= 0.7
+        |)""".stripMargin
+
   /** BM25 top-20 recomputed from scratch over the post-mutation corpus
     * (remove doc_id%37==0, mutate doc_id%41==0), with avgdl FROZEN at its
     * build-time value over the original corpus (f32-cast like the engine's
@@ -310,40 +331,18 @@ object OracleSql {
          |ORDER BY cos_r DESC, c.vec_id LIMIT 10""".stripMargin,
 
     "dedup_minhash_verified" ->
-      (minhashBandsCte +
-      """, pairs AS (
-        |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-        |  FROM bands x JOIN bands y
-        |    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
-        |), s AS (
-        |  SELECT doc_id, list_distinct(shingles) AS shs FROM sh
-        |)
-        |SELECT a, b,
-        |  round(len(list_intersect(sa.shs, sb.shs))::DOUBLE
-        |        / (len(sa.shs) + len(sb.shs) - len(list_intersect(sa.shs, sb.shs))), 4) AS jaccard
-        |FROM pairs JOIN s sa ON pairs.a = sa.doc_id JOIN s sb ON pairs.b = sb.doc_id
-        |WHERE len(list_intersect(sa.shs, sb.shs))::DOUBLE
-        |      / (len(sa.shs) + len(sb.shs) - len(list_intersect(sa.shs, sb.shs))) >= 0.7
-        |ORDER BY a, b""".stripMargin),
+      (verifiedPairsCte +
+        """
+          |SELECT a, b, round(jac, 4) AS jaccard
+          |FROM vp ORDER BY a, b""".stripMargin),
 
     // Connected components over the verified near-dup pairs: the closure is
     // a recursive CTE (fine at oracle scale — components are tiny), cluster
     // id = min doc_id reachable. Mirrors the Spark side's label-propagation
     // fixpoint exactly.
     "dedup_clusters" ->
-      (minhashBandsCte.replaceFirst("^WITH ", "WITH RECURSIVE ") +
-      """, pairsb AS (
-        |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-        |  FROM bands x JOIN bands y
-        |    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
-        |), shd AS (
-        |  SELECT doc_id, list_distinct(shingles) AS shs FROM sh
-        |), vp AS (
-        |  SELECT a, b
-        |  FROM pairsb JOIN shd sa ON pairsb.a = sa.doc_id JOIN shd sb ON pairsb.b = sb.doc_id
-        |  WHERE len(list_intersect(sa.shs, sb.shs))::DOUBLE
-        |        / (len(sa.shs) + len(sb.shs) - len(list_intersect(sa.shs, sb.shs))) >= 0.7
-        |), edges AS (
+      (verifiedPairsCte.replaceFirst("^WITH ", "WITH RECURSIVE ") +
+      """, edges AS (
         |  SELECT a AS st, b AS tt FROM vp UNION SELECT b, a FROM vp
         |), reach AS (
         |  SELECT st, tt FROM edges

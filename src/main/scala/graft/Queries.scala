@@ -595,8 +595,17 @@ object Queries {
         rounds += 1
       }
       require(changed == 0, s"label propagation did not converge in $rounds rounds")
+      // Cut the loop lineage before releasing the per-round caches: the
+      // labels frame references every prior round TWICE per round (join +
+      // carry), so dropping the caches while lineage survives would make a
+      // later materialization exponential. localCheckpoint materializes the
+      // (small: only clustered docs) converged labels once; its blocks are
+      // GC-cleaned with the frame. A restart-tolerant cluster deployment
+      // would use a reliable checkpoint dir instead.
+      val finalLabels = labels.localCheckpoint(true)
+      cached.unpersist(blocking = false)
       edges.unpersist(blocking = false)
-      labels.select($"node".as("doc_id"), $"label".as("cluster_id"),
+      finalLabels.select($"node".as("doc_id"), $"label".as("cluster_id"),
         when($"node" === $"label", 1).otherwise(0).as("keep"))
         .orderBy($"doc_id")
     },

@@ -57,6 +57,17 @@ final class SearchEngine private[api] (
   // superseded sets up to this size take the collected-IN probe path
   private val MaxInProbe = 10000
 
+  /** Child-entry names of a log dir, via the path's OWN filesystem (local,
+    * hdfs://, s3a://, …) — a java.io.File listing would return null for any
+    * non-local scheme and silently misclassify the dir. None = absent dir.
+    */
+  private def listLog(): Option[Array[String]] = {
+    val p = new org.apache.hadoop.fs.Path(logPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else Some(fs.listStatus(p).map(_.getPath.getName))
+  }
+
   /** Layout gate: logs created by this engine are bucket-partitioned, but a
     * dir written before the bucketed layout (flat part files, no `bucket=`
     * dirs) must stay flat — appending partition dirs next to flat files
@@ -66,8 +77,7 @@ final class SearchEngine private[api] (
     * the first log access of this engine instance.
     */
   private lazy val bucketedLog: Boolean = {
-    val names = Option(new java.io.File(logPath).list()).getOrElse(Array.empty[String])
-    val dataNames = names.filterNot(_.startsWith("_"))
+    val dataNames = listLog().getOrElse(Array.empty[String]).filterNot(_.startsWith("_"))
     dataNames.isEmpty || dataNames.exists(_.startsWith("bucket="))
   }
 
@@ -81,10 +91,8 @@ final class SearchEngine private[api] (
 
   private var nextSeq: Long = currentMaxSeq() + 1
 
-  private def logExists: Boolean = {
-    val f = new java.io.File(logPath)
-    f.exists() && f.list() != null && f.list().exists(n => !n.startsWith("_") || n == "_SUCCESS")
-  }
+  private def logExists: Boolean =
+    listLog().exists(_.exists(n => !n.startsWith("_") || n == "_SUCCESS"))
 
   private def baseExists: Boolean = IndexManifest.exists(indexPath)
 

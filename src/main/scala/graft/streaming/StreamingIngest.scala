@@ -90,26 +90,19 @@ object StreamingIngest {
                  gapMinutes: Int = 30): Dataset[SessionRow] = {
     import spark.implicits._
     val gapUs = gapMinutes * 60L * 1000000L
-    // Event micros come from an NTZ-to-NTZ timestampdiff BEFORE the watermark
-    // cast, so session contents (like the batch twin's) never depend on the
-    // session time zone. The watermark itself must be TIMESTAMP, i.e. instant
-    // space shifted by the session zone — the seal/timeout logic below maps
-    // watermark instants back to NTZ space (and timeouts forward) with the
-    // zone captured here, keeping sealing exact under any session TZ.
-    val zone = java.time.ZoneId.of(
-      spark.conf.get("spark.sql.session.timeZone", java.util.TimeZone.getDefault.getID))
-    val instantToNtzMs = (ms: Long) =>
-      java.time.LocalDateTime
-        .ofInstant(java.time.Instant.ofEpochMilli(ms), zone)
-        .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
-    val ntzToInstantMs = (ms: Long) =>
-      java.time.LocalDateTime
-        .ofInstant(java.time.Instant.ofEpochMilli(ms), java.time.ZoneOffset.UTC)
-        .atZone(zone).toInstant.toEpochMilli
+    // Event micros come from an NTZ-to-NTZ timestampdiff, so session
+    // contents (like the batch twin's) never depend on the session time
+    // zone. The watermark column must be TIMESTAMP, so it is REBUILT from
+    // those micros via timestamp_micros(us) — a bijective map (NTZ wall
+    // clock read as UTC instants) under any session TZ, unlike a session-
+    // zone cast, which is lossy around DST transitions (a spring-forward
+    // wall time shifts by an hour and sealing would drift). Watermark
+    // millis therefore ARE the NTZ epoch millis: no zone conversion exists
+    // anywhere in the seal/timeout logic.
     events
       .withColumn("us",
         expr("timestampdiff(MICROSECOND, timestamp_ntz'1970-01-01 00:00:00', ts)"))
-      .withColumn("ts", col("ts").cast("timestamp"))
+      .withColumn("ts", expr("timestamp_micros(us)"))
       .withWatermark("ts", s"$gapMinutes minutes")
       .select(col("user_id").cast("long"), col("ts"), col("us"),
         col("value").cast("double"))
@@ -132,7 +125,7 @@ object StreamingIngest {
                 sessions += scala.collection.mutable.ArrayBuffer(e)
               else sessions.last += e
             }
-            val wmUs = instantToNtzMs(state.getCurrentWatermarkMs()) * 1000L
+            val wmUs = state.getCurrentWatermarkMs() * 1000L
             val (closed, open) = sessions.span(s => s.last._1 + gapUs < wmUs)
             val out = closed.map { s =>
               SessionRow(user, s.head._1, s.last._1, s.length.toLong, s.iterator.map(_._2).sum)
@@ -143,8 +136,7 @@ object StreamingIngest {
               state.update(SessionBuf(rest.map(_._1).toSeq, rest.map(_._2).toSeq))
               // wake when the earliest retained session could seal
               // (timeout timestamps must be strictly above the watermark)
-              val timeoutMs =
-                ntzToInstantMs(open.head.last._1 / 1000L + gapUs / 1000L + 1L)
+              val timeoutMs = open.head.last._1 / 1000L + gapUs / 1000L + 1L
               state.setTimeoutTimestamp(
                 math.max(timeoutMs, state.getCurrentWatermarkMs() + 1L))
             }
