@@ -373,6 +373,17 @@ object OracleSql {
          |  round(len(list_distinct(ws))::DOUBLE / len(ws), 4) AS distinct_ratio
          |FROM d ORDER BY doc_id""".stripMargin,
 
+    "pipe_pack_bins" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens
+        |  FROM documents
+        |)
+        |SELECT doc_id, source, n_tokens,
+        |  ((sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT - n_tokens) // 2048) AS bin
+        |FROM t ORDER BY doc_id""".stripMargin,
+
     "pipe_sample_mix" ->
       """SELECT doc_id, source,
         |  round((1.0 + (substring(source, 4)::INT % 4)) / 4.0, 2) AS rate

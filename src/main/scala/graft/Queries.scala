@@ -743,6 +743,28 @@ object Queries {
         .orderBy($"doc_id")
     },
 
+    // Sequence-packing assignment — the training-example packing op: docs
+    // are packed into 2048-token bins per source stream in doc_id order,
+    // bin = the 2048-block its running-token offset starts in (the
+    // deterministic streaming approximation of greedy packing; an exact
+    // first-fit packer is inherently sequential and packs each source
+    // partition independently anyway). Scale shape: ONE hash exchange on
+    // source, then the window and the binning are partition-local — the
+    // same single-exchange shape PlanAuditSpec pins for sessionize.
+    "pipe_pack_bins" -> { (spark, sfDir) =>
+      import spark.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val bySrc = Window.partitionBy($"source").orderBy($"doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      docs(spark, sfDir)
+        .select($"doc_id", $"source",
+          size(expr("filter(split(text, ' '), x -> x <> '')")).as("n_tokens"))
+        .withColumn("cum", sum($"n_tokens").over(bySrc))
+        .select($"doc_id", $"source", $"n_tokens",
+          floor(($"cum" - $"n_tokens") / 2048L).as("bin"))
+        .orderBy($"doc_id")
+    },
+
     // Repetition signals (the Gopher/C4-style quality-filter inputs that
     // textq_quality's length/stopword ratios do not cover): duplicate-word
     // fraction, duplicate word-bigram fraction, and top-word concentration.
