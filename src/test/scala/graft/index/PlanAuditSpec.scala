@@ -157,4 +157,17 @@ class PlanAuditSpec extends SparkTestBase {
     assert(hashExchanges == 1, s"expected 1 user_id hash exchange, got $hashExchanges:\n$plan")
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("pack-bins plans one source exchange; sampling plans none") {
+    val pack = graft.Queries.all("pipe_pack_bins")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    // the running-token window is the only shuffle of the data (the
+    // trailing range exchange serves the deterministic output ORDER BY)
+    val srcExchanges = "hashpartitioning\\(source".r.findAllIn(pack).length
+    assert(srcExchanges == 1, s"expected 1 source hash exchange, got $srcExchanges:\n$pack")
+    val mix = graft.Queries.all("pipe_sample_mix")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    // narrow scan + filter: no hash exchange anywhere (range = output sort)
+    assert(!mix.contains("hashpartitioning"), s"sampling should not shuffle:\n$mix")
+  }
 }
