@@ -87,8 +87,7 @@ object OracleSql {
         |    len(list_intersect(sa.shs, sb.shs))::DOUBLE
         |      / (len(sa.shs) + len(sb.shs) - len(list_intersect(sa.shs, sb.shs))) AS jac
         |  FROM pairsb JOIN shd sa ON pairsb.a = sa.doc_id JOIN shd sb ON pairsb.b = sb.doc_id
-        |  WHERE len(list_intersect(sa.shs, sb.shs))::DOUBLE
-        |        / (len(sa.shs) + len(sb.shs) - len(list_intersect(sa.shs, sb.shs))) >= 0.7
+        |  WHERE jac >= 0.7
         |)""".stripMargin
 
   /** BM25 top-20 recomputed from scratch over the post-mutation corpus

@@ -594,7 +594,12 @@ object Queries {
         labels = step.select($"node", $"label")
         rounds += 1
       }
-      require(changed == 0, s"label propagation did not converge in $rounds rounds")
+      if (changed != 0) { // release caches on the failure path too
+        cached.unpersist(blocking = false)
+        edges.unpersist(blocking = false)
+        throw new IllegalStateException(
+          s"label propagation did not converge in $rounds rounds")
+      }
       // Cut the loop lineage before releasing the per-round caches: the
       // labels frame references every prior round TWICE per round (join +
       // carry), so dropping the caches while lineage survives would make a

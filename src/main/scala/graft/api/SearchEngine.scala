@@ -64,8 +64,15 @@ final class SearchEngine private[api] (
   private def listLog(): Option[Array[String]] = {
     val p = new org.apache.hadoop.fs.Path(logPath)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) None
-    else Some(fs.listStatus(p).map(_.getPath.getName))
+    try {
+      // a non-directory at the log path (corrupt state) reads as absent,
+      // matching the previous File.list()==null behavior
+      if (!fs.getFileStatus(p).isDirectory) None
+      else Some(fs.listStatus(p).map(_.getPath.getName))
+    } catch {
+      // absent, or deleted between status and list (TOCTOU) — treat as absent
+      case _: java.io.FileNotFoundException => None
+    }
   }
 
   /** Layout gate: logs created by this engine are bucket-partitioned, but a

@@ -98,7 +98,11 @@ object StreamingIngest {
     // zone cast, which is lossy around DST transitions (a spring-forward
     // wall time shifts by an hour and sealing would drift). Watermark
     // millis therefore ARE the NTZ epoch millis: no zone conversion exists
-    // anywhere in the seal/timeout logic.
+    // anywhere in the seal/timeout logic. NOTE: this changes the watermark
+    // SPACE — a checkpoint written by the old session-zone cast under a
+    // non-UTC TZ is not resumable across this change (its committed
+    // watermark would be reinterpreted, shifted by the zone offset); start
+    // such streams from a fresh checkpoint.
     events
       .withColumn("us",
         expr("timestampdiff(MICROSECOND, timestamp_ntz'1970-01-01 00:00:00', ts)"))
