@@ -270,4 +270,69 @@ class SearchEngineSpec extends SparkTestBase {
         java.lang.Float.floatToRawIntBits(e.score))
     }
   }
+
+  test("compaction rewrites the docstore log to its live view") {
+    import spark.implicits._
+    val dir = tmpDir("logcmp")
+    val eng = SearchEngine.withDocuments(spark, dir, Seq(
+      Doc("a", "spark shuffle join"), Doc("b", "shuffle sort merge"),
+      Doc("c", "join broadcast hash")))
+    eng.remove("b")                                  // tombstone
+    eng.upsert(Doc("a", "spark shuffle join again")) // supersede
+    eng.upsert(Doc("e", "shuffle join window"))      // fresh delta
+    val liveBefore = eng.iter().collect().sortBy(_.id)
+    val before = eng.search("shuffle join", None).sortBy(_.id)
+    eng.compact()
+    // the log now holds exactly one row per live doc — no tombstones, no
+    // superseded versions, and the compacting/backup side dirs are gone
+    val log = spark.read.parquet(s"$dir/docstore")
+    assert(log.count() === liveBefore.length.toLong)
+    assert(log.where($"tombstone").count() === 0L)
+    assert(log.select($"doc_id").distinct().count() === liveBefore.length.toLong)
+    assert(!new java.io.File(s"$dir/docstore_compacting").exists())
+    assert(!new java.io.File(s"$dir/docstore_old").exists())
+    // live view and scores are untouched, both in this engine and a reopen
+    assert(eng.iter().collect().sortBy(_.id) === liveBefore)
+    for (e <- Seq(eng, SearchEngine.open(spark, dir))) {
+      val after = e.search("shuffle join", None).sortBy(_.id)
+      assert(after.map(_.id) === before.map(_.id))
+      after.zip(before).foreach { case (g, x) =>
+        assert(java.lang.Float.floatToRawIntBits(g.score) ===
+          java.lang.Float.floatToRawIntBits(x.score))
+      }
+    }
+    // mutations after compaction keep working on the rewritten log
+    eng.upsert(Doc("f", "another shuffle"))
+    assert(eng.get("f").exists(_.contents == "another shuffle"))
+    assert(eng.count() === liveBefore.length.toLong + 1)
+  }
+
+  test("an all-tombstones log compacts to an empty engine, seq monotone") {
+    val dir = tmpDir("logcmp0")
+    val eng = SearchEngine.withDocuments(spark, dir, Seq(Doc("a", "solo doc here")))
+    eng.remove("a")
+    eng.compact()
+    assert(eng.count() === 0L)
+    assert(eng.search("solo", None).isEmpty)
+    // reopen: seq continues from the sealed marker, so a later upsert can
+    // never be shadowed by a pre-compaction row
+    val re = SearchEngine.open(spark, dir)
+    re.upsert(Doc("a", "risen again"))
+    assert(re.get("a").exists(_.contents == "risen again"))
+    assert(re.search("risen", None).map(_.id) === Seq("a"))
+  }
+
+  test("a mixed flat+bucketed docstore layout fails fast") {
+    import spark.implicits._
+    val dir = tmpDir("mixed")
+    val sid = graft.text.FxHash.hash64("x") & Long.MaxValue
+    // flat part files AND a bucket= dir — the corruption the layout gate
+    // exists for; picking either layout silently drops rows
+    Seq(LogRow(sid, "x", "flat row", 0L, tombstone = false))
+      .toDS().coalesce(1).write.parquet(s"$dir/docstore")
+    Seq(LogRow(sid, "x", "bucketed row", 1L, tombstone = false))
+      .toDS().coalesce(1).write.parquet(s"$dir/docstore/bucket=0")
+    val ex = intercept[IllegalArgumentException] { SearchEngine.withAvgdl(spark, dir, 4.0f) }
+    assert(ex.getMessage.contains("mixed docstore layout"))
+  }
 }
