@@ -52,6 +52,21 @@ def gen(lang: str, n=40000, seed=None) -> list:
     return sorted(out)
 
 
+def run_checked(cmd, stdin_path=None) -> str:
+    """Run a child, failing loudly WITH its stderr — check=True alone would
+    raise CalledProcessError showing only the exit status while the captured
+    stderr (the actual diagnosis) is swallowed."""
+    if stdin_path is not None:
+        with open(stdin_path) as f:
+            r = subprocess.run(cmd, stdin=f, capture_output=True, text=True)
+    else:
+        r = subprocess.run(cmd, capture_output=True, text=True)
+    if r.returncode != 0:
+        sys.exit(f"command failed ({r.returncode}): {' '.join(map(str, cmd))}\n"
+                 f"--- child stderr ---\n{r.stderr}")
+    return r.stdout
+
+
 def main() -> None:
     langs = sys.argv[1:] or LANGS
     OUT.mkdir(parents=True, exist_ok=True)
@@ -60,13 +75,11 @@ def main() -> None:
     for lang in langs:
         wf = OUT / f"{lang}.txt"
         wf.write_text("\n".join(gen(lang)) + "\n")
-        orc = subprocess.run(
-            [sys.executable, str(REPO / "scripts/sb_oracle.py"), lang],
-            stdin=open(wf), capture_output=True, text=True, check=True).stdout
+        orc = run_checked(
+            [sys.executable, str(REPO / "scripts/sb_oracle.py"), lang], stdin_path=wf)
         (OUT / f"{lang}.oracle").write_text(orc)
-        subprocess.run(["java", "-cp", cp, "graft.tools.StemDump", lang,
-                        str(wf), str(OUT / f"{lang}.ours")],
-                       capture_output=True, check=True)
+        run_checked(["java", "-cp", cp, "graft.tools.StemDump", lang,
+                     str(wf), str(OUT / f"{lang}.ours")])
         # a truncated/stale output file would silently shrink the comparison:
         # a partial run must fail loudly, never report a too-small mismatch count
         oracle_lines = open(OUT / f"{lang}.oracle").readlines()

@@ -60,7 +60,12 @@ object StreamingIngest {
                           watermark: String = "10 minutes",
                           window_ : String = "5 minutes"): DataFrame = {
     events
-      .withColumn("ts", col("ts").cast("timestamp")) // NTZ → event-time type
+      // NTZ → event-time TIMESTAMP via micros + timestamp_micros, the same
+      // bijective map sessionize uses — a session-zone cast is lossy around
+      // DST transitions and would shift window boundaries by the zone
+      // offset for any non-UTC consumer
+      .withColumn("ts", expr(
+        "timestamp_micros(timestampdiff(MICROSECOND, timestamp_ntz'1970-01-01 00:00:00', ts))"))
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), window_), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))

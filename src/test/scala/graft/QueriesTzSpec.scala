@@ -9,9 +9,9 @@ package graft
 class QueriesTzSpec extends SparkTestBase {
   private val sf = "/root/testdata/sf0.001"
 
-  test("evt_sessionize is invariant under the session time zone") {
+  private def tzInvariant(query: String): Unit = {
     def run(): Array[String] =
-      Queries.all("evt_sessionize")(spark, sf).collect().map(_.toString)
+      Queries.all(query)(spark, sf).collect().map(_.toString)
     val utc = run()
     assert(utc.nonEmpty)
     val saved = spark.conf.get("spark.sql.session.timeZone")
@@ -21,5 +21,13 @@ class QueriesTzSpec extends SparkTestBase {
       spark.conf.set("spark.sql.session.timeZone", "Asia/Kolkata") // half-hour offset
       assert(run().toSeq === utc.toSeq)
     } finally spark.conf.set("spark.sql.session.timeZone", saved)
+  }
+
+  test("evt_sessionize is invariant under the session time zone") {
+    tzInvariant("evt_sessionize")
+  }
+
+  test("evt_window_agg is invariant under the session time zone") {
+    tzInvariant("evt_window_agg")
   }
 }
