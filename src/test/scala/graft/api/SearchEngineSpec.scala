@@ -307,6 +307,25 @@ class SearchEngineSpec extends SparkTestBase {
     assert(eng.count() === liveBefore.length.toLong + 1)
   }
 
+  test("a legacy flat log stays flat through log compaction") {
+    import spark.implicits._
+    val dir = tmpDir("legacycmp")
+    val sid = graft.text.FxHash.hash64("old doc") & Long.MaxValue
+    Seq(LogRow(sid, "old doc", "grilled cheese sandwich", 0L, tombstone = false))
+      .toDS().coalesce(1).write.parquet(s"$dir/docstore")
+    val eng = SearchEngine.withAvgdl(spark, dir, 4.0f)
+    eng.upsert(Doc("new doc", "bacon avocado sandwich"))
+    eng.remove("old doc")
+    eng.compact()
+    // the rewritten log must keep the flat layout this engine committed to
+    assert(!new java.io.File(s"$dir/docstore").list().exists(_.startsWith("bucket=")))
+    assert(eng.count() === 1)
+    assert(eng.search("sandwich", None).map(_.id) === Seq("new doc"))
+    val re = SearchEngine.open(spark, dir)
+    assert(re.get("new doc").exists(_.contents == "bacon avocado sandwich"))
+    assert(re.get("old doc").isEmpty)
+  }
+
   test("an all-tombstones log compacts to an empty engine, seq monotone") {
     val dir = tmpDir("logcmp0")
     val eng = SearchEngine.withDocuments(spark, dir, Seq(Doc("a", "solo doc here")))
