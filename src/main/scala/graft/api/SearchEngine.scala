@@ -114,6 +114,35 @@ final class SearchEngine private[api] (
     else
       df.write.mode(SaveMode.Append).parquet(path)
 
+  /** Heal a torn log-compaction swap before anything reads the log. The
+    * swap in `compactLog()` deletes its `docstore_old` backup only after
+    * the new log verifies, so a surviving backup is an unambiguous crash
+    * signal and the recovery is deterministic (single-writer, like every
+    * other mutation on an engine dir): log missing → the crash hit between
+    * the two renames, restore the complete old log (every kept seq is
+    * already sealed under the base_seq marker, so searches are identical);
+    * log present → the swap finished, drop the leftover backup. A stale
+    * `docstore_compacting` is dead weight either way.
+    */
+  locally {
+    import java.nio.file.{Files, Paths}
+    // The index swap keeps `index_old` on success (next to a live index),
+    // so the backup alone is no signal there — but a MISSING index with a
+    // backed-up manifest only the torn window can produce. Restoring the
+    // backup recreates the exact pre-compaction engine: the old base still
+    // carries its own sealed marker, and the log is untouched at that
+    // point (compactLog only runs after the index swap verifies). The
+    // compaction work is lost, never data.
+    if (!IndexManifest.exists(indexPath) && IndexManifest.exists(s"$dir/index_old"))
+      Files.move(Paths.get(s"$dir/index_old"), Paths.get(indexPath)): Unit
+    val bak = new java.io.File(s"$dir/docstore_old")
+    if (bak.exists()) {
+      if (new java.io.File(logPath).exists()) deleteRecursively(bak)
+      else Files.move(bak.toPath, Paths.get(logPath)): Unit
+    }
+    deleteRecursively(new java.io.File(s"$dir/docstore_compacting"))
+  }
+
   private var nextSeq: Long = currentMaxSeq() + 1
 
   private def logExists: Boolean =
@@ -622,11 +651,12 @@ final class SearchEngine private[api] (
     * finding). Runs after the index swap + seal: the marker already covers
     * every kept seq, so outside the two-rename swap window a crash leaves
     * either the old log (complete) or the new one (its exact live view) —
-    * searches agree either way; inside the window the next open fails
-    * loudly rather than reading a partial log (the same Files.move
-    * discipline as the index swap). The backup is dropped once the swap
-    * verifies — unlike index_old it would double docstore storage for no
-    * recovery value beyond the window. An all-tombstones log compacts to
+    * searches agree either way; a crash inside the window is healed at the
+    * next open (the constructor's swap-recovery block restores the backup,
+    * which is complete and seals identically). The backup is dropped once
+    * the swap verifies — a surviving `docstore_old` is therefore the
+    * crash signal recovery keys on, and keeping it longer would double
+    * docstore storage for no recovery value beyond the window. An all-tombstones log compacts to
     * log deletion, not an unreadable zero-file parquet dir.
     */
   private def compactLog(): Unit = {

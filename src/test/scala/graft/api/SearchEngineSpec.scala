@@ -326,6 +326,57 @@ class SearchEngineSpec extends SparkTestBase {
     assert(re.get("old doc").isEmpty)
   }
 
+  test("a torn log-compaction swap heals at the next open") {
+    import java.nio.file.{Files, Paths}
+    val dir = tmpDir("logswapcrash")
+    val eng = SearchEngine.withDocuments(spark, dir, Seq(
+      Doc("a", "grilled cheese sandwich"), Doc("b", "bacon avocado toast")))
+    eng.remove("b")
+    eng.compact()
+    // crash between the two swap renames: the log is gone, only the
+    // complete backup survives — open must restore it
+    Files.move(Paths.get(s"$dir/docstore"), Paths.get(s"$dir/docstore_old"))
+    val re = SearchEngine.open(spark, dir)
+    assert(Files.exists(Paths.get(s"$dir/docstore")))
+    assert(!Files.exists(Paths.get(s"$dir/docstore_old")))
+    assert(re.get("a").exists(_.contents == "grilled cheese sandwich"))
+    assert(re.get("b").isEmpty)
+    assert(re.count() === 1)
+    assert(re.search("sandwich", None).map(_.id) === Seq("a"))
+  }
+
+  test("a completed swap's leftover backup is dropped at open, log untouched") {
+    import java.nio.file.{Files, Paths}
+    val dir = tmpDir("logswapdone")
+    val eng = SearchEngine.withDocuments(spark, dir, Seq(Doc("a", "grilled cheese sandwich")))
+    eng.compact()
+    // crash after the new log verified but before the backup delete
+    val bak = Paths.get(s"$dir/docstore_old")
+    Files.createDirectory(bak)
+    Files.write(bak.resolve("stale.parquet"), Array[Byte](1, 2, 3))
+    val re = SearchEngine.open(spark, dir)
+    assert(!Files.exists(bak))
+    assert(re.get("a").exists(_.contents == "grilled cheese sandwich"))
+    assert(re.count() === 1)
+  }
+
+  test("a torn index-compaction swap restores the pre-compaction base at open") {
+    import java.nio.file.{Files, Paths}
+    val dir = tmpDir("idxswapcrash")
+    val eng = SearchEngine.withDocuments(spark, dir, Seq(
+      Doc("a", "grilled cheese sandwich"), Doc("b", "bacon avocado toast")))
+    eng.upsert(Doc("c", "roasted tomato soup"))
+    // the window between compact()'s two renames: the base moved aside,
+    // its replacement never landed
+    Files.move(Paths.get(s"$dir/index"), Paths.get(s"$dir/index_old"))
+    val re = SearchEngine.open(spark, dir)
+    assert(Files.exists(Paths.get(s"$dir/index/manifest.json")))
+    assert(!Files.exists(Paths.get(s"$dir/index_old")))
+    assert(re.count() === 3)
+    assert(re.search("sandwich", None).map(_.id) === Seq("a"))
+    assert(re.get("c").exists(_.contents == "roasted tomato soup"))
+  }
+
   test("an all-tombstones log compacts to an empty engine, seq monotone") {
     val dir = tmpDir("logcmp0")
     val eng = SearchEngine.withDocuments(spark, dir, Seq(Doc("a", "solo doc here")))
