@@ -126,15 +126,19 @@ final class SearchEngine private[api] (
     */
   locally {
     import java.nio.file.{Files, Paths}
-    // The index swap keeps `index_old` on success (next to a live index),
-    // so the backup alone is no signal there — but a MISSING index with a
-    // backed-up manifest only the torn window can produce. Restoring the
+    // A MISSING index with a backed-up manifest is something only the torn
+    // window between compact()'s two renames can produce. Restoring the
     // backup recreates the exact pre-compaction engine: the old base still
     // carries its own sealed marker, and the log is untouched at that
     // point (compactLog only runs after the index swap verifies). The
-    // compaction work is lost, never data.
+    // compaction work is lost, never data. Next to a LIVE index the backup
+    // is stale either way (a crash after the verify, or retention by a
+    // pre-round-5 binary that kept it indefinitely) — drop it, the live
+    // index is authoritative.
     if (!IndexManifest.exists(indexPath) && IndexManifest.exists(s"$dir/index_old"))
       Files.move(Paths.get(s"$dir/index_old"), Paths.get(indexPath)): Unit
+    else deleteRecursively(new java.io.File(s"$dir/index_old"))
+    deleteRecursively(new java.io.File(s"$dir/index_compacting"))
     val bak = new java.io.File(s"$dir/docstore_old")
     if (bak.exists()) {
       if (new java.io.File(logPath).exists()) deleteRecursively(bak)
@@ -640,6 +644,10 @@ final class SearchEngine private[api] (
     }
     Files.move(Paths.get(tmp), oldDir)
     require(IndexManifest.exists(indexPath), s"compaction swap failed: no manifest at $indexPath")
+    // the backup's only job is covering the two-rename window just closed
+    // (open's swap recovery restores it if the move above never ran);
+    // keeping it past the verify would double index storage per engine dir
+    deleteRecursively(new java.io.File(s"$dir/index_old"))
     Checkpoints.commit(indexPath, "base_seq", Map("seq" -> sealSeq))
     compactLog()
   }

@@ -377,6 +377,17 @@ class SearchEngineSpec extends SparkTestBase {
     assert(re.get("c").exists(_.contents == "roasted tomato soup"))
   }
 
+  test("a successful compact leaves no backup or tmp dirs behind") {
+    val dir = tmpDir("cmpclean")
+    val eng = SearchEngine.withDocuments(spark, dir, Seq(Doc("a", "grilled cheese sandwich")))
+    eng.upsert(Doc("b", "bacon avocado toast"))
+    eng.compact()
+    for (d <- Seq("index_old", "index_compacting", "docstore_old", "docstore_compacting"))
+      assert(!new java.io.File(s"$dir/$d").exists(), d)
+    assert(eng.count() === 2)
+    assert(eng.search("toast", None).map(_.id) === Seq("b"))
+  }
+
   test("an all-tombstones log compacts to an empty engine, seq monotone") {
     val dir = tmpDir("logcmp0")
     val eng = SearchEngine.withDocuments(spark, dir, Seq(Doc("a", "solo doc here")))
