@@ -6,6 +6,12 @@
 #        sweeps in /tmp/stem_sweep (the judge's verification step) without
 #        regenerating draws or re-running either stemmer — one step, seconds.
 set -u
+# UTF-8 semantics for grep/diff: under a C/POSIX locale (typical cron/CI
+# shell) a bracket like [ëï] matches the RAW BYTES of its UTF-8 encoding —
+# 0xC3 is the lead byte of every Latin-1-supplement letter (é è à ç ...),
+# which would misclassify nearly any accented mismatch as the documented
+# trema class below
+export LC_ALL=C.UTF-8
 
 if [ "${1:-}" = "--verify" ]; then
   shift
@@ -36,9 +42,15 @@ if [ "${1:-}" = "--verify" ]; then
     if [ "$lang" = "french" ]; then
       # the ë/ï trema class is the documented Snowball-2.1 divergence
       # (COVERAGE §residual): matches the reference's pinned rust-stemmers
-      # 1.2.0, intentionally not libstemmer 2.2 — classified, not a failure
-      m=$(diff "$o" "$u" | grep '^<' | grep -cv '[ëï]')
-      t=$(diff "$o" "$u" | grep '^<' | grep -c '[ëï]')
+      # 1.2.0, intentionally not libstemmer 2.2 — classified, not a failure.
+      # Classify on the INPUT WORD (field 1) only: the old line-scoped
+      # grep also forgave any mismatch whose wrong STEM happened to
+      # contain ë/ï for a trema-free input — word-scoping closes that.
+      words=$(diff "$o" "$u" | grep '^<' | sed 's/^< //' | cut -f1)
+      if [ -z "$words" ]; then m=0; t=0; else
+        m=$(printf '%s\n' "$words" | grep -cv '[ëï]') || true
+        t=$(printf '%s\n' "$words" | grep -c '[ëï]') || true
+      fi
       echo "$lang: $m / $no mismatches (+$t documented trema)"
     else
       m=$(diff "$o" "$u" | grep -c '^<')

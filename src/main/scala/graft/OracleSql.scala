@@ -219,7 +219,9 @@ object OracleSql {
 
     // restates jaccardBlockCandidates bit-for-bit: within-block all-pairs
     // for blocks of <= cap docs, banded-minhash candidates (same md5-slice
-    // 4x2 banding as the dedup_minhash family) inside oversized blocks
+    // 4x2 banding as the dedup_minhash family, over shingles — see the
+    // Queries.scala hot-path note for why not the word set) inside
+    // oversized blocks
     "dedup_jaccard_block" ->
       s"""WITH w AS (
          |  SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents

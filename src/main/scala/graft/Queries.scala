@@ -125,11 +125,17 @@ object Queries {
     * the r4 judge's scale finding) pair only docs that ALSO share a 4×2
     * minhash band inside the block, the same md5-slice banding as the
     * dedup_minhash family — so a hot block costs O(block) band rows, never
-    * O(block²) comparisons, and true near-dups still collide with the usual
-    * LSH probability. Docs with <3 words band on their exact text (their
-    * block IS the exact-text group, so band collision ≡ block membership —
-    * no pair lost). The DuckDB oracle restates the full rule bit-for-bit.
-    * Exposed for the hot-block spec, which counts candidates directly.
+    * O(block²) comparisons, and true near-dups still collide with the
+    * usual LSH probability. Docs with <3 words band on their exact text
+    * (their block IS the exact-text group, so band collision ≡ block
+    * membership — no pair lost). The corpus-wide persisted projection is
+    * kept LEAN — (doc_id, wsd, blk) only; the shingle arrays (~3× the
+    * text) exist transiently inside the block-key expression and are
+    * rebuilt just for the hot docs — and the banding basis is shingles by
+    * design, not the word set the metric measures (see the hot-path note
+    * below for why word banding degenerates on boilerplate-keyed blocks).
+    * The DuckDB oracle restates the full rule bit-for-bit. Exposed for
+    * the hot-block spec, which counts candidates directly.
     */
   private[graft] def jaccardBlockCandidates(spark: SparkSession, sfDir: String,
                                             cap: Int): (DataFrame, DataFrame) = {
@@ -140,13 +146,11 @@ object Queries {
     val d = docs(spark, sfDir)
       .select($"doc_id", split($"text", " ").as("ws"), $"text", md5($"text").as("th"))
       .withColumn("wsd", array_distinct($"ws"))
-      .withColumn("sh", when(size($"ws") >= 3, expr(
-        "transform(sequence(0, size(ws)-3), i -> concat(ws[i], ' ', ws[i+1], ' ', ws[i+2]))"))
-        .otherwise(array($"text")))
       .withColumn("blk", when(size($"ws") >= 3,
-        expr("array_min(transform(sh, s -> md5(concat('jb:', s))))"))
+        expr("array_min(transform(sequence(0, size(ws)-3), " +
+          "i -> md5(concat('jb:', ws[i], ' ', ws[i+1], ' ', ws[i+2]))))"))
         .otherwise($"th"))
-      .select($"doc_id", $"wsd", $"sh", $"blk")
+      .select($"doc_id", $"wsd", $"blk")
       .persist()
     d.count()
     val counts = d.groupBy($"blk").agg(count(lit(1)).as("bcnt"))
@@ -157,10 +161,33 @@ object Queries {
       .join(small.select($"blk", $"doc_id".as("b")), Seq("blk"))
       .where($"a" < $"b").select($"a", $"b")
 
-    // hot path: 8 minhashes as 2 md5 slices per shingle (the same
-    // CollapseProject-safe two-projection shape as dedup_minhash_sig),
-    // banded 4×2; candidates join on (blk, band, bucket)
-    val hot = dc.where($"bcnt" > cap)
+    // hot path: shingles REBUILT for the hot docs only (a second narrow
+    // text scan over the rare oversized blocks — the price of keeping the
+    // corpus-wide persisted projection shingle-free), then 8 minhashes as
+    // 2 md5 slices per shingle (the same CollapseProject-safe
+    // two-projection shape as dedup_minhash_sig), banded 4×2; candidates
+    // join on (blk, band, bucket).
+    //
+    // The minhashes deliberately run over SHINGLES, not the word set the
+    // final Jaccard measures. Banding the word set was tried and is
+    // structurally wrong for blocks DEFINED by shared boilerplate words:
+    // those words are in every doc of the block, so whenever a band's
+    // common-word slice minima hash low, most of the block shares the
+    // full band signature and the band degenerates to a clique —
+    // empirically ~25 % of merely-boilerplate pairs collide, re-exploding
+    // exactly the blocks this path bounds (the shared 3-shingle is a far
+    // weaker attractor: one array element among many vs 3-of-7 words).
+    // The trade-off is order-sensitivity: word-PERMUTED near-dups whose
+    // block crosses the cap collide only at the usual LSH rate; the
+    // order-robust near-dup pipeline is dedup_minhash_verified.
+    val shingled = docs(spark, sfDir)
+      .select($"doc_id", split($"text", " ").as("ws"), $"text")
+      .withColumn("sh", when(size($"ws") >= 3, expr(
+        "transform(sequence(0, size(ws)-3), i -> concat(ws[i], ' ', ws[i+1], ' ', ws[i+2]))"))
+        .otherwise(array($"text")))
+      .select($"doc_id", $"sh")
+    val hot = dc.where($"bcnt" > cap).select($"blk", $"doc_id")
+      .join(shingled, "doc_id")
       .select($"blk", $"doc_id", expr(
         "transform(sh, s -> concat(md5(concat('0:', s)), md5(concat('1:', s))))").as("hh"))
     val sigs = (0 until 8).map(j =>
@@ -482,6 +509,10 @@ object Queries {
       ev.orderBy($"vec_id").limit(k).select($"vec_id".as("cid"), $"v".as("cv")),
       "cv", "ncv")
       .localCheckpoint(true)
+    // the seed scan above materialized ev, which supersedes the prologue's
+    // vectors cache for the rest of the job — holding both would double
+    // cache pressure exactly at the scale this path exists for
+    e.unpersist(blocking = false)
 
     for (_ <- 1 to 5) {
       val scored = ev.crossJoin(broadcast(cents)).withColumn("sim", simCol)

@@ -107,12 +107,22 @@ final class SearchEngine private[api] (
   /** Same layout decision, arbitrary target (log compaction rewrites into a
     * side dir then swaps).
     */
-  private def writeLogTo(df: DataFrame, path: String): Unit =
+  private def writeLogTo(df: DataFrame, path: String): Unit = {
+    // A surviving docstore_old means a swap failed AND its in-process
+    // restore failed (double fault — swap recovery normally heals or
+    // removes it at open, and compactLog restores before rethrowing).
+    // Appending now could recreate a log dir that forges the
+    // "swap finished" signal and orphan the backup's contents: refuse.
+    require(!new java.io.File(s"$dir/docstore_old").exists(),
+      s"unhealed log-compaction backup at $dir/docstore_old: a swap failed and " +
+        "could not self-restore; re-open the engine (or move the backup back to " +
+        s"$logPath) before writing")
     if (bucketedLog)
       df.withColumn("bucket", pmod($"doc_id", lit(DocstoreBuckets.toLong)))
         .write.mode(SaveMode.Append).partitionBy("bucket").parquet(path)
     else
       df.write.mode(SaveMode.Append).parquet(path)
+  }
 
   /** Heal a torn log-compaction swap before anything reads the log. The
     * swap in `compactLog()` deletes its `docstore_old` backup only after
@@ -637,12 +647,17 @@ final class SearchEngine private[api] (
     // place, dropping the un-folded deltas from every later search).
     import java.nio.file.{Files, Paths}
     val oldDir = Paths.get(indexPath)
-    if (Files.exists(oldDir)) {
-      val bak = Paths.get(s"$dir/index_old")
-      deleteRecursively(bak.toFile)
-      Files.move(oldDir, bak)
+    val backedUp = Files.exists(oldDir)
+    val idxBak = Paths.get(s"$dir/index_old")
+    if (backedUp) {
+      deleteRecursively(idxBak.toFile)
+      Files.move(oldDir, idxBak)
     }
-    Files.move(Paths.get(tmp), oldDir)
+    // restore on in-process failure, mirroring compactLog: a surviving
+    // caller that kept using the engine would otherwise see no base and
+    // silently rescore everything from the log with a fallback avgdl
+    try Files.move(Paths.get(tmp), oldDir)
+    catch { case t: Throwable => if (backedUp) Files.move(idxBak, oldDir); throw t }
     require(IndexManifest.exists(indexPath), s"compaction swap failed: no manifest at $indexPath")
     // the backup's only job is covering the two-rename window just closed
     // (open's swap recovery restores it if the move above never ran);
@@ -684,7 +699,15 @@ final class SearchEngine private[api] (
     deleteRecursively(bak.toFile)
     Files.move(oldLog, bak)
     if (liveCount > 0) {
-      Files.move(Paths.get(tmp), oldLog)
+      // If the second rename fails with the PROCESS surviving, restore the
+      // backup before rethrowing: a caller that swallowed the error and
+      // kept appending would otherwise recreate the log dir from nothing,
+      // forging the "swap finished" signal open-time recovery keys on —
+      // and the next cleanup would drop the only complete copy of every
+      // pre-compaction document's contents. (writeLogTo's backup guard is
+      // the second line of defense if even this restore throws.)
+      try Files.move(Paths.get(tmp), oldLog)
+      catch { case t: Throwable => Files.move(bak, oldLog); throw t }
       require(logExists, s"log compaction swap failed: no data at $logPath")
     }
     deleteRecursively(bak.toFile)

@@ -69,7 +69,14 @@ object StreamingIngest {
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), window_), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
-      .select(col("window.start").as("w_start"), col("event_type"), col("n"), col("sum_value"))
+      // invert the map on the way out: window.start is an instant (NTZ
+      // wall clock read as UTC), which would RENDER shifted by the zone
+      // offset in any non-UTC session; emit the NTZ wall-clock start —
+      // the source column's own space — instead
+      .select(
+        expr("timestampadd(MICROSECOND, unix_micros(window.start), timestamp_ntz'1970-01-01 00:00:00')")
+          .as("w_start"),
+        col("event_type"), col("n"), col("sum_value"))
   }
 
   /** Per-user sessionization over the events stream — CUSTOM streaming
