@@ -388,6 +388,17 @@ class SearchEngineSpec extends SparkTestBase {
     assert(eng.search("toast", None).map(_.id) === Seq("b"))
   }
 
+  test("appends refuse over an unhealed log-compaction backup") {
+    import java.nio.file.{Files, Paths}
+    val dir = tmpDir("bakguard")
+    val eng = SearchEngine.withDocuments(spark, dir, Seq(Doc("a", "solo doc here")))
+    // a backup surviving PAST open-time healing means a swap failed and
+    // its in-process restore failed too — appending must fail loudly
+    Files.createDirectory(Paths.get(s"$dir/docstore_old"))
+    val ex = intercept[IllegalArgumentException] { eng.upsert(Doc("b", "bacon toast")) }
+    assert(ex.getMessage.contains("unhealed"))
+  }
+
   test("an all-tombstones log compacts to an empty engine, seq monotone") {
     val dir = tmpDir("logcmp0")
     val eng = SearchEngine.withDocuments(spark, dir, Seq(Doc("a", "solo doc here")))
