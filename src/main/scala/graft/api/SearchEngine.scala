@@ -329,20 +329,28 @@ final class SearchEngine private[api] (
     * applied via broadcast anti-join, so an upsert burst between compactions
     * never funnels through the driver.
     */
-  private[graft] def deltaState(): (Dataset[(Long, String)], DataFrame) = {
+  /** Latest post-base log row per doc — (doc_id, tombstone, contents).
+    * Filter seq > baseSeq BEFORE the window (provably equivalent: a doc
+    * with any post-base row has its latest row post-base, and a doc with
+    * none contributes nothing either way) — so the delta path scans only
+    * post-base parquet row groups (seq min/max stats prune the sealed
+    * bulk) instead of windowing the entire log per search.
+    */
+  private def changedState(): DataFrame = {
     val baseSeq = if (baseExists) builtSeqMarker else -1L
     // fast path: the base covers every appended row → no deltas, zero jobs
     if (!logExists || nextSeq - 1 <= baseSeq)
-      return (spark.emptyDataset[(Long, String)], spark.emptyDataset[Long].toDF("doc_id"))
-    // Filter seq > baseSeq BEFORE the window (provably equivalent: a doc
-    // with any post-base row has its latest row post-base, and a doc with
-    // none contributes nothing either way) — so the delta path scans only
-    // post-base parquet row groups (seq min/max stats prune the sealed
-    // bulk) instead of windowing the entire log per search.
+      return spark.emptyDataset[(Long, Boolean, String)]
+        .toDF("doc_id", "tombstone", "contents")
     val w = org.apache.spark.sql.expressions.Window.partitionBy($"doc_id").orderBy($"seq".desc)
-    val changed = spark.read.parquet(logPath)
+    spark.read.parquet(logPath)
       .where($"seq" > baseSeq)
-      .withColumn("rn", row_number().over(w)).where($"rn" === 1).drop("rn")
+      .withColumn("rn", row_number().over(w)).where($"rn" === 1)
+      .select($"doc_id", $"tombstone", $"contents")
+  }
+
+  private[graft] def deltaState(): (Dataset[(Long, String)], DataFrame) = {
+    val changed = changedState()
     val live = changed.where(!$"tombstone")
       .select($"doc_id", $"contents").as[(Long, String)]
     (live, changed.select($"doc_id"))
@@ -407,11 +415,35 @@ final class SearchEngine private[api] (
     val (deltaLive, supersededIds) = deltaState()
     val hasDeltas = logExists && nextSeq - 1 > (if (baseExists) builtSeqMarker else -1L)
 
+    // r6 optimization: when the post-base churn is small (the normal case
+    // between compactions) ONE collect of (doc_id, tombstone) serves the
+    // superseded-id exclusion, the delta-live count AND the liveN base
+    // membership probe — formerly three separate jobs (deltaLive.count, a
+    // superseded-id collect, the sidecar count) plus a re-execution of the
+    // windowed log subplan inside the anti-join's broadcast build. A
+    // pathologically large churn set falls back to the previous
+    // anti-join + count shape unchanged.
+    val smallChanged: Option[Array[(Long, Boolean)]] =
+      if (!hasDeltas) None
+      else {
+        val rows = changedState().select($"doc_id", $"tombstone")
+          .limit(MaxInProbe + 1).as[(Long, Boolean)].collect()
+        if (rows.length <= MaxInProbe) Some(rows) else None
+      }
+
     val base: Dataset[Posting] =
       baseIndex.map(_.postingsFor(distinctTerms)).getOrElse(spark.emptyDataset[Posting])
     val baseFiltered: Dataset[Posting] =
       if (!hasDeltas) base
-      else base.join(broadcast(supersededIds), Seq("doc_id"), "left_anti").as[Posting]
+      else smallChanged match {
+        case Some(rows) if rows.isEmpty => base
+        case Some(rows) =>
+          // same exclusion set as the anti-join, as a literal filter — the
+          // windowed log subplan no longer re-executes inside a broadcast
+          base.where(!$"doc_id".isin(rows.map(r => Long.box(r._1)).toSeq: _*)).as[Posting]
+        case None =>
+          base.join(broadcast(supersededIds), Seq("doc_id"), "left_anti").as[Posting]
+      }
     // delta docs are embedded IN EXECUTORS (no driver collect): tokenize,
     // keep only postings whose term is queried
     val deltaCands: Dataset[Posting] = deltaLive.mapPartitions { it =>
@@ -423,7 +455,12 @@ final class SearchEngine private[api] (
     val baseN = baseIndex.map(_.manifest.nDocs).getOrElse(0L)
     val nLive =
       if (!hasDeltas) baseN
-      else liveN(baseN, supersededIds, deltaLive.count())
+      else smallChanged match {
+        case Some(rows) =>
+          val inBase = if (baseExists) countInBase(rows.map(_._1)) else 0L
+          baseN - inBase + rows.count(!_._2)
+        case None => liveN(baseN, supersededIds, deltaLive.count())
+      }
     (baseFiltered.union(deltaCands), nLive)
   }
 

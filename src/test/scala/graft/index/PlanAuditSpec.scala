@@ -169,14 +169,21 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
   }
 
-  test("textq_quality's stopword probe optimizes to a hash-set INSET") {
-    // the 180-literal IN inside the filter() lambda must be rewritten by
-    // OptimizeIn to INSET (O(1) hash probe per word) — the map-side-set
-    // idiom; a regression to a literal In chain would scan 180 literals
-    // per word
-    val opt = graft.Queries.all("textq_quality")(spark, "/root/testdata/sf0.001")
-      .queryExecution.optimizedPlan.toString
-    assert(opt.contains("INSET"), s"stopword IN not converted to INSET:\n$opt")
+  test("textq_quality plans as one typed pass — no interpreted HOFs, no shuffle before the sort") {
+    // r6 optimization: the quality metrics moved from higher-order-function
+    // expressions (CodegenFallback — interpreted per row) to a single typed
+    // mapPartitions; the plan must stay a narrow scan → object pass →
+    // rounding projection (the only exchange is the output ORDER BY), and
+    // no lambda-expression node may sneak back in. Value parity with the
+    // old expression form is pinned bit-for-bit in QueriesTextEquivSpec.
+    val qe = graft.Queries.all("textq_quality")(spark, "/root/testdata/sf0.001")
+      .queryExecution
+    val phys = qe.executedPlan.toString
+    assert(phys.contains("MapPartitions"), s"expected a typed MapPartitions pass:\n$phys")
+    assert(!qe.optimizedPlan.toString.contains("lambdafunction"),
+      s"interpreted HOF back in the quality plan:\n${qe.optimizedPlan}")
+    val hashExchanges = "hashpartitioning".r.findAllIn(phys).length
+    assert(hashExchanges == 0, s"quality pass should not hash-shuffle:\n$phys")
   }
 
   test("pack-bins plans no per-source window; sampling plans no shuffle") {
