@@ -889,13 +889,20 @@ object Queries {
       import spark.implicits._
       docs(spark, sfDir).select($"doc_id", $"text").as[(Long, String)]
         .mapPartitions { it =>
+          // r6: one MessageDigest per partition and the first 4 md5 bytes
+          // read directly — the former DigestUtils.md5Hex(w) allocated a
+          // fresh digest, hex-encoded all 16 bytes and re-parsed 8 hex
+          // chars PER WORD; parseLong(hex(b0..b3), 16) ≡ the unsigned
+          // big-endian int below, bit for bit (oracle unchanged)
+          val md = java.security.MessageDigest.getInstance("MD5")
           it.map { case (id, t) =>
             val counts = t.split(' ').filter(_.nonEmpty)
               .groupMapReduce(identity)(_ => 1)(_ + _)
             val votes = new Array[Long](32)
             counts.foreach { case (w, tf) =>
-              val h = java.lang.Long.parseLong(
-                org.apache.commons.codec.digest.DigestUtils.md5Hex(w).substring(0, 8), 16)
+              val b = md.digest(w.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+              val h = ((b(0) & 0xffL) << 24) | ((b(1) & 0xffL) << 16) |
+                ((b(2) & 0xffL) << 8) | (b(3) & 0xffL)
               var i = 0
               while (i < 32) {
                 if (((h >> i) & 1L) == 1L) votes(i) += tf else votes(i) -= tf
@@ -942,13 +949,22 @@ object Queries {
       // the dedup shuffle would multiply its volume by 2×dim for nothing
       // (the r3 judge's nit #2). Vectors re-enter via a fresh single-row-
       // per-vec scan of the source (a narrow cast projection, no distinct).
+      // r6: the per-pair norm folds are hoisted to PER-VECTOR norm columns
+      // on the join legs — sqrt(Σx²) is the identical expression over the
+      // identical array, just computed once per vector instead of once per
+      // CANDIDATE pair per side (~36k pairs vs 2k vectors at sf0.1, and the
+      // pair/vector ratio only grows with corpus size), so cos values are
+      // bit-identical. (A typed-map verify was tried and rejected: the
+      // object-decoder boundary on two dim-length arrays per pair cost more
+      // than the interpreted folds it replaced — measured 2.6 s vs 0.25 s
+      // for this subtree.)
+      val en = e.select($"vec_id", $"v", expr(
+        "sqrt(aggregate(transform(v, x -> x*x), cast(0 as double), (s, p) -> s + p))").as("nrm"))
       a.join(b, Seq("band", "bucket")).where($"a" < $"b")
         .select($"a", $"b").distinct()
-        .join(e.select($"vec_id".as("a"), $"v".as("va")), "a")
-        .join(e.select($"vec_id".as("b"), $"v".as("vb")), "b")
+        .join(en.select($"vec_id".as("a"), $"v".as("va"), $"nrm".as("na")), "a")
+        .join(en.select($"vec_id".as("b"), $"v".as("vb"), $"nrm".as("nb")), "b")
         .withColumn("dot", expr("aggregate(zip_with(va, vb, (x, y) -> x*y), cast(0 as double), (s, p) -> s + p)"))
-        .withColumn("na", expr("sqrt(aggregate(transform(va, x -> x*x), cast(0 as double), (s, p) -> s + p))"))
-        .withColumn("nb", expr("sqrt(aggregate(transform(vb, x -> x*x), cast(0 as double), (s, p) -> s + p))"))
         .withColumn("cos", $"dot" / ($"na" * $"nb"))
         .where($"cos" >= 0.35)
         .select($"a", $"b", round($"cos", 4).as("cos_r"))
@@ -957,17 +973,26 @@ object Queries {
 
     // --------------------------------------------------------- similarity
 
+    // r6: exact cosine as a typed pass (same rationale and identical fold
+    // order as dedup_embedding_cosine's verify — the HOF form was
+    // interpreted per row); rounding stays in the Spark column.
     "sim_cosine_topk" -> { (spark, sfDir) =>
       import spark.implicits._
       val e = tbl(spark, sfDir, "embeddings")
         .select($"vec_id", expr("transform(embedding, x -> cast(x as double))").as("v"))
       val q = e.where($"vec_id" === 0).select($"v".as("qv"))
       e.where($"vec_id" =!= 0).crossJoin(broadcast(q))
-        .withColumn("dot", expr("aggregate(zip_with(v, qv, (x, y) -> x*y), cast(0 as double), (s, p) -> s + p)"))
-        .withColumn("nv", expr("sqrt(aggregate(transform(v, x -> x*x), cast(0 as double), (s, p) -> s + p))"))
-        .withColumn("nq", expr("sqrt(aggregate(transform(qv, x -> x*x), cast(0 as double), (s, p) -> s + p))"))
-        .withColumn("cos_r", round($"dot" / ($"nv" * $"nq"), 4))
-        .select($"vec_id", $"cos_r")
+        .select($"vec_id", $"v", $"qv")
+        .as[(Long, Array[Double], Array[Double])]
+        .map { case (id, v, qv) =>
+          var d = 0.0; var nv = 0.0; var nq = 0.0; var i = 0
+          while (i < v.length) {
+            d += v(i) * qv(i); nv += v(i) * v(i); nq += qv(i) * qv(i); i += 1
+          }
+          (id, d / (math.sqrt(nv) * math.sqrt(nq)))
+        }
+        .toDF("vec_id", "cos")
+        .select($"vec_id", round($"cos", 4).as("cos_r"))
         .orderBy($"cos_r".desc, $"vec_id")
         .limit(20)
     },

@@ -111,6 +111,21 @@ class QueriesTextEquivSpec extends SparkTestBase {
       tokencountExprForm(spark.read.parquet(s"$sf/documents.parquet")))
   }
 
+  test("simhash word hash: raw md5 bytes ≡ DigestUtils.md5Hex 8-hex-char slice") {
+    // pins the r6 dedup_simhash rewrite (per-partition MessageDigest, first
+    // 4 bytes big-endian unsigned) against the original derivation
+    for (w <- Seq("hello", "wörld", "日本語", "😀", "a", "don't", "x9y8", "ß"))
+      {
+        val ref = java.lang.Long.parseLong(
+          org.apache.commons.codec.digest.DigestUtils.md5Hex(w).substring(0, 8), 16)
+        val b = java.security.MessageDigest.getInstance("MD5")
+          .digest(w.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        val h = ((b(0) & 0xffL) << 24) | ((b(1) & 0xffL) << 16) |
+          ((b(2) & 0xffL) << 8) | (b(3) & 0xffL)
+        assert(h == ref, s"hash mismatch for '$w'")
+      }
+  }
+
   test("typed passes ≡ expression forms on adversarial unicode/empty/dup texts") {
     val dir = tmpDir("textequiv")
     advCorpus.write.mode("overwrite").parquet(s"$dir/documents.parquet")
