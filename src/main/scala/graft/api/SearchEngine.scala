@@ -180,8 +180,63 @@ final class SearchEngine private[api] (
       // force the layout gate before the first log read: a mixed layout gets
       // this engine's diagnostic, not Spark's partition-discovery error
       bucketedLog: Unit
-      postBaseLogScan(marker).agg(coalesce(max($"seq"), lit(marker))).head().getLong(0)
+      // r6: for small logs (the steady state between compactions) the max
+      // seq comes straight from the parquet footers on the driver — INT64
+      // row-group min/max statistics are exact, and max(marker, global max)
+      // ≡ the filtered aggregate below — so the common open launches ZERO
+      // Spark jobs. Large logs (or any footer without trustworthy stats)
+      // fall back to the distributed aggregate, whose pushed seq > marker
+      // filter stats-prunes the sealed bulk (plan-pinned).
+      footerMaxSeq(marker).getOrElse(
+        postBaseLogScan(marker).agg(coalesce(max($"seq"), lit(marker))).head().getLong(0))
     }
+  }
+
+  /** How many log data files the driver-side footer scan will read before
+    * deferring to the distributed aggregate (which parallelizes footer
+    * reads across the cluster).
+    */
+  private val FooterScanMaxFiles = 64
+
+  /** Driver-side max(seq) from parquet footer statistics: Some(max(marker,
+    * global max)) when every populated row group carries exact non-null
+    * INT64 seq stats, None otherwise (caller falls back to the aggregate).
+    */
+  private[graft] def footerMaxSeq(marker: Long): Option[Long] = {
+    val p = new org.apache.hadoop.fs.Path(logPath)
+    val conf = spark.sessionState.newHadoopConf()
+    try {
+      val fs = p.getFileSystem(conf)
+      def dataFiles(dir: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.FileStatus] =
+        fs.listStatus(dir).toSeq.flatMap { e =>
+          if (e.isDirectory && e.getPath.getName.startsWith("bucket=")) dataFiles(e.getPath)
+          else if (e.isFile && e.getPath.getName.endsWith(".parquet")) Seq(e)
+          else Seq.empty
+        }
+      val files = dataFiles(p)
+      if (files.size > FooterScanMaxFiles) return None
+      var best = marker
+      files.foreach { f =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(f, conf)
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try {
+          reader.getFooter.getBlocks.forEach { block =>
+            if (block.getRowCount > 0) {
+              val col = block.getColumns.stream()
+                .filter(c => c.getPath.toDotString == "seq").findFirst()
+              if (!col.isPresent) return None
+              val stats = col.get().getStatistics
+              if (stats == null || stats.isEmpty || !stats.hasNonNullValue) return None
+              stats.genericGetMax match {
+                case l: java.lang.Long => if (l > best) best = l.longValue()
+                case _                 => return None
+              }
+            }
+          }
+        } finally reader.close()
+      }
+      Some(best)
+    } catch { case scala.util.control.NonFatal(_) => None }
   }
 
   /** The post-marker log scan (exposed for the plan audit: the seq filter

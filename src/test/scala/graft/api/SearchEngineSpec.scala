@@ -427,4 +427,31 @@ class SearchEngineSpec extends SparkTestBase {
     val ex = intercept[IllegalArgumentException] { SearchEngine.withAvgdl(spark, dir, 4.0f) }
     assert(ex.getMessage.contains("mixed docstore layout"))
   }
+
+  test("open-time max seq comes from parquet footer stats and equals the aggregate") {
+    // r6: the footer fast path must (a) actually fire on a freshly written
+    // log (exact INT64 row-group stats) and (b) agree with the distributed
+    // aggregate it replaces, for markers below, at, and above the log max.
+    val dir = tmpDir("footer_seq")
+    val eng = SearchEngine.withDocuments(spark, dir,
+      Seq(Doc("a", "one doc"), Doc("b", "two doc")))
+    eng.upsert(Doc("c", "three doc"))
+    eng.remove("a")
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val trueMax = spark.read.parquet(s"$dir/docstore")
+      .agg(max($"seq")).head().getLong(0)
+    for (marker <- Seq(-1L, 0L, trueMax, trueMax + 5)) {
+      val fast = eng.footerMaxSeq(marker)
+      assert(fast.isDefined, s"footer fast path did not fire (marker=$marker)")
+      assert(fast.get == math.max(marker, trueMax), s"marker=$marker")
+    }
+    // reopening the engine must see the same high-water mark: a fresh
+    // upsert gets the next seq, nothing is overwritten
+    val re = SearchEngine.open(spark, dir)
+    re.upsert(Doc("d", "four doc"))
+    val after = spark.read.parquet(s"$dir/docstore")
+      .agg(max($"seq")).head().getLong(0)
+    assert(after == trueMax + 1)
+  }
 }
