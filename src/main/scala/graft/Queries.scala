@@ -833,8 +833,10 @@ object Queries {
       // (guide §2.4 — reuse one exchange across same-keyed operations)
       val edges = pairs.union(pairs.select($"b", $"a")).toDF("s", "t")
         .repartition($"t").persist()
-      edges.count()
-      pairs.unpersist(blocking = false)
+      // no eager edges.count(): round 1's convergence action materializes
+      // pairs → edges → init labels in one job (r6 — one fewer action per
+      // query); pairs stays persisted until after the loop so the two
+      // union legs share one verified-pairs computation
       // init fuses the first propagation round: label0 = min(self, neighbors)
       var labels = edges.groupBy($"s").agg(min($"t").as("mt"))
         .select($"s".as("node"), least($"s", $"mt").as("label")).persist()
@@ -865,6 +867,7 @@ object Queries {
       if (changed != 0) { // release caches on the failure path too
         cached.unpersist(blocking = false)
         edges.unpersist(blocking = false)
+        pairs.unpersist(blocking = false)
         throw new IllegalStateException(
           s"label propagation did not converge in $rounds rounds")
       }
@@ -878,6 +881,7 @@ object Queries {
       val finalLabels = labels.localCheckpoint(true)
       cached.unpersist(blocking = false)
       edges.unpersist(blocking = false)
+      pairs.unpersist(blocking = false)
       finalLabels.select($"node".as("doc_id"), $"label".as("cluster_id"),
         when($"node" === $"label", 1).otherwise(0).as("keep"))
         .orderBy($"doc_id")
