@@ -662,13 +662,11 @@ object Queries {
       // r6 optimization: the df lookup and the f64 avgdl aggregate used to
       // be two separate driver actions (a termstats collect and a forward
       // head()) before the scoring job; both now ride the one query plan as
-      // broadcast sides — same bucket+term-pruned termstats scan, same
-      // sum(dl)/count expression (matches DuckDB's avg()), identical values,
-      // one Spark job instead of three.
-      val buckets = qTerms.map(idx.manifest.bucketOf).distinct
-      val dfs = spark.read.parquet(s"$dir/termstats")
-        .where($"bucket".isin(buckets: _*) && $"term".isin(qTerms: _*))
-        .select($"term", $"df")
+      // broadcast sides — same bucket+term-pruned termstats scan (the
+      // shared Bm25Index.termStatsFor definition), same sum(dl)/count
+      // expression (matches DuckDB's avg()), identical values, one Spark
+      // job instead of three.
+      val dfs = idx.termStatsFor(qTerms)
       val avgDf = spark.read.parquet(s"$dir/forward")
         .agg((sum($"dl").cast("double") / count(lit(1))).as("avgdl"))
       val posts = idx.postingsFor(qTerms).toDF()
@@ -859,6 +857,10 @@ object Queries {
           .agg(min($"lab").as("label"), max($"prev").as("prev"))
           .persist()
         changed = step.where($"label" =!= $"prev").count()
+        // the first convergence action materialized pairs → edges → init
+        // labels; edges is now cached, so the pairs cache is dead weight
+        // for the rest of the loop — release it here, not after the loop
+        if (rounds == 0) pairs.unpersist(blocking = false)
         cached.unpersist(blocking = false)
         cached = step
         labels = step.select($"node", $"label")

@@ -214,28 +214,40 @@ final class SearchEngine private[api] (
           else Seq.empty
         }
       val files = dataFiles(p)
-      if (files.size > FooterScanMaxFiles) return None
-      var best = marker
-      files.foreach { f =>
-        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(f, conf)
-        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-        try {
-          reader.getFooter.getBlocks.forEach { block =>
-            if (block.getRowCount > 0) {
-              val col = block.getColumns.stream()
-                .filter(c => c.getPath.toDotString == "seq").findFirst()
-              if (!col.isPresent) return None
-              val stats = col.get().getStatistics
-              if (stats == null || stats.isEmpty || !stats.hasNonNullValue) return None
-              stats.genericGetMax match {
-                case l: java.lang.Long => if (l > best) best = l.longValue()
-                case _                 => return None
+      if (files.size > FooterScanMaxFiles) None
+      else {
+        // plain flag-based iteration — no non-local returns from inside the
+        // library callbacks: a swallowed control throwable could otherwise
+        // surface a max computed from a PARTIAL footer scan, and an
+        // under-reported high-water mark would reuse live seq numbers
+        var best = marker
+        var trusted = true
+        val fit = files.iterator
+        while (trusted && fit.hasNext) {
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(fit.next(), conf)
+          val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try {
+            val bit = reader.getFooter.getBlocks.iterator()
+            while (trusted && bit.hasNext) {
+              val block = bit.next()
+              if (block.getRowCount > 0) {
+                val col = block.getColumns.stream()
+                  .filter(c => c.getPath.toDotString == "seq").findFirst()
+                if (!col.isPresent) trusted = false
+                else {
+                  val stats = col.get().getStatistics
+                  if (stats == null || stats.isEmpty || !stats.hasNonNullValue) trusted = false
+                  else stats.genericGetMax match {
+                    case l: java.lang.Long => if (l > best) best = l.longValue()
+                    case _                 => trusted = false
+                  }
+                }
               }
             }
-          }
-        } finally reader.close()
+          } finally reader.close()
+        }
+        if (trusted) Some(best) else None
       }
-      Some(best)
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 

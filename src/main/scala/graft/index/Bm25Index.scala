@@ -78,13 +78,22 @@ final class Bm25Index(spark: SparkSession, val indexDir: String,
     */
   def termDfs(terms: Array[Long]): Map[Long, Long] = {
     if (terms.isEmpty) return Map.empty
-    val buckets = terms.map(manifest.bucketOf).distinct
-    spark.read.parquet(s"$indexDir/termstats")
-      .where($"bucket".isin(buckets: _*) && $"term".isin(terms: _*))
-      .select($"term", $"df")
+    termStatsFor(terms)
       .collect()
       .map(r => r.getLong(0) -> r.getLong(1))
       .toMap
+  }
+
+  /** The (term, df) rows for `terms` as a DataFrame — the single definition
+    * of the bucket+term-pruned termstats scan (shared by the collected
+    * termDfs lookup, the exhaustive scorer's broadcast side, and catalog
+    * queries that ride the df lookup inside their own plan).
+    */
+  def termStatsFor(terms: Array[Long]): DataFrame = {
+    val buckets = terms.map(manifest.bucketOf).distinct
+    spark.read.parquet(s"$indexDir/termstats")
+      .where($"bucket".isin(buckets.map(Int.box): _*) && $"term".isin(terms.map(Long.box): _*))
+      .select($"term", $"df")
   }
 
   /** Decoded postings of the given terms (pruned scan over posting blocks). */
@@ -142,10 +151,7 @@ final class Bm25Index(spark: SparkSession, val indexDir: String,
     val emb = embedder
     val n = nDocs
     val qOccB = spark.sparkContext.broadcast(qOcc)
-    val buckets = terms.map(manifest.bucketOf).distinct
-    val stats = spark.read.parquet(s"$indexDir/termstats")
-      .where($"bucket".isin(buckets.map(Int.box): _*) && $"term".isin(terms.map(Long.box): _*))
-      .select($"term", $"df")
+    val stats = termStatsFor(terms)
     postingsFor(terms).toDF()
       .join(broadcast(stats), "term")
       .select($"doc_id", $"term", $"tf", $"dl", $"df")

@@ -43,7 +43,10 @@ object PlanDump {
         try w.write(plan) finally w.close()
         println(s"dumped $name")
       } catch {
-        case e: Throwable => println(s"FAILED $name: ${e.getClass.getSimpleName}: ${e.getMessage}")
+        // NonFatal only: an OOM/fatal error must abort the dump, not leave
+        // later plan files written from a broken session
+        case scala.util.control.NonFatal(e) =>
+          println(s"FAILED $name: ${e.getClass.getSimpleName}: ${e.getMessage}")
       }
     }
     spark.stop()
