@@ -770,9 +770,12 @@ object Queries {
       import spark.implicits._
       // persist() is a projection-collapse barrier: without it Catalyst
       // inlines the 8 minhash array-transforms into each stacked band
-      // column and recomputes them 4× (26s → ~1s at sf0.1).
+      // column and recomputes them 4× (26s → ~1s at sf0.1). No eager
+      // count() here (r6): this query consumes sig exactly ONCE (the stack
+      // feeds one aggregation — no self-join, no broadcast build), so the
+      // aggregation job materializes the cache inline and an up-front
+      // materialization action would only add a job.
       val sig = all("dedup_minhash_sig")(spark, sfDir).persist()
-      sig.count()
       val stacked = sig.selectExpr("doc_id",
         "stack(4, 0, band0, 1, band1, 2, band2, 3, band3) as (band, bucket)")
       stacked.groupBy($"band", $"bucket")
