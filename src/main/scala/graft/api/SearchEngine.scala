@@ -476,6 +476,16 @@ final class SearchEngine private[api] (
     * Public so callers (e.g. the driver-oracle catalog) can score the live
     * view in alternate precisions; `search` consumes it in reference f32.
     */
+  /** True when log rows exist past the built base (the live view differs
+    * from the base index). Exposed so callers can route df lookups to the
+    * termstats table when the base IS the live view (post-compaction):
+    * with zero deltas and zero superseded docs, df_live(t) = df_base(t)
+    * exactly (one posting per (term, doc), so the termstats block-count
+    * sum equals the distinct-doc count).
+    */
+  def hasPendingDeltas: Boolean =
+    logExists && nextSeq - 1 > (if (baseExists) builtSeqMarker else -1L)
+
   def liveQueryState(distinctTerms: Array[Long]): (Dataset[Posting], Long) = {
     val emb = embedder
     val qset = distinctTerms.toSet
